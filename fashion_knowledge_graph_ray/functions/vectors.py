@@ -1,0 +1,69 @@
+"""Deterministic text featurization + vector kernels.
+
+The reference embeds with CLIP / SBERT models loaded per process
+(`/root/reference/src/models/embedding_model.py:46-291`) and computes
+cosine similarity scalar-at-a-time (`/root/reference/src/utils/tools.py:3-23`).
+This engine needs embeddings that are (a) deterministic across workers and
+runs with no model downloads, and (b) cheap enough to vectorize — a char
+n-gram feature-hashing encoder (the classic hashing trick). Swapping in a
+real sentence-transformer is a one-line change at the actor ``__init__``
+(extension point; see stages/linker.py).
+
+All kernels are numpy-batched: never call these per row in a hot stage.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+DEFAULT_DIM = 256
+_NGRAM = 3
+
+
+def _ngrams(s: str, n: int = _NGRAM):
+    s = f" {s.lower()} "
+    return (s[i: i + n] for i in range(max(1, len(s) - n + 1)))
+
+
+def hash_embed(texts, dim: int = DEFAULT_DIM) -> np.ndarray:
+    """(k,) strings -> (k, dim) float32, L2-normalized feature-hashed
+    char-trigram vectors. crc32 is used for bucketing because it is stable
+    across processes (Python's builtin ``hash`` is salted per process and
+    must never be used for partitioning or features)."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        row = out[i]
+        for g in _ngrams(t):
+            h = zlib.crc32(g.encode("utf-8"))
+            sign = 1.0 if h & 0x80000000 else -1.0
+            row[h % dim] += sign
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out
+
+
+def cosine_topk(queries: np.ndarray, index: np.ndarray, k: int,
+                mask: np.ndarray | None = None):
+    """Batched cosine top-k: queries (q, d) x index (n, d) -> (scores,
+    indices) each (q, k). Rows are assumed L2-normalized so cosine is a
+    matmul. ``mask`` (q, n) bool marks allowed candidates (metadata
+    filters); disallowed candidates score -inf. Ties break on the lower
+    index (deterministic)."""
+    sims = queries @ index.T  # (q, n)
+    if mask is not None:
+        sims = np.where(mask, sims, -np.inf)
+    n = index.shape[0]
+    k = min(k, n)
+    # argsort on (-score, index) for full determinism
+    order = np.lexsort((np.broadcast_to(np.arange(n), sims.shape), -sims), axis=1)
+    idx = order[:, :k]
+    return np.take_along_axis(sims, idx, axis=1), idx
+
+
+def cosine_sim_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise cosine of two equal-shape (k, d) matrices (both normalized)."""
+    return np.einsum("ij,ij->i", a, b)

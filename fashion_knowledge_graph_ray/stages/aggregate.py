@@ -1,0 +1,130 @@
+"""Stage 6: wide aggregations — edge weights, evidence lists, node merge.
+
+The engine's only all-to-all shuffles live here (SURVEY.md §7.3):
+
+- **edges** keyed ``(src, dst, rel)`` — the counting-upsert analog of Neo4j
+  ``MERGE ... ON CREATE r.weight=1 ON MATCH r.weight+=1`` + image-append
+  (`/root/reference/src/database/graph_database.py:164-198`), re-expressed
+  as a deterministic groupby so re-runs can never double-count (the
+  reference inflates weights on re-run; SURVEY.md §4.4);
+- **nodes** keyed ``entity_id`` — the ``MERGE (p) SET p += $attrs``
+  last-writer-wins upsert (graph_database.py:89-96), ordered by
+  ``(warc_ts, url, mention_id)`` for determinism.
+
+Scale shape: (1) every batch is pre-aggregated in ``map_batches`` before
+the shuffle (partial count + partial evidence list per key), so a hot key
+ships at most ONE row per input batch; (2) the final reduction is a
+bucketed shuffle (see stages/bucketed.py) with a VECTORIZED merge per
+bucket — no per-group Python dispatch. Evidence lists are capped at
+``EVIDENCE_CAP`` with an explicit ``evidence_truncated`` flag (never a
+silent cap).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+from ..schemas import ATTRS_STRUCT
+from ..vocab import EVIDENCE_CAP
+from .bucketed import bucketed_group_apply
+
+EDGE_KEYS = ["src", "dst", "rel"]
+
+
+def partial_edge_agg(batch: pa.Table) -> pa.Table:
+    """In-batch combiner: pair observations -> one row per (src,dst,rel)
+    with partial weight + partial (sorted, capped) evidence list."""
+    g = batch.group_by(EDGE_KEYS).aggregate([("url", "list"), ("url", "count")])
+    urls = [sorted(u)[:EVIDENCE_CAP] for u in g["url_list"].to_pylist()]
+    return pa.table(
+        {
+            "src": g["src"],
+            "dst": g["dst"],
+            "rel": g["rel"],
+            "weight": g["url_count"].cast(pa.int64()),
+            "pages": pa.array(urls, type=pa.list_(pa.string())),
+        }
+    )
+
+
+def _merge_edges_bucket(t: pa.Table) -> pa.Table:
+    """Vectorized merge of all edge keys in one bucket."""
+    df = t.to_pandas()
+    w = df.groupby(EDGE_KEYS, sort=True)["weight"].sum()
+    ex = df[EDGE_KEYS + ["pages"]].explode("pages").dropna(subset=["pages"])
+    ex = ex.drop_duplicates().sort_values(EDGE_KEYS + ["pages"])
+    pages = ex.groupby(EDGE_KEYS, sort=True)["pages"].agg(list)
+    out = w.to_frame().join(pages, how="left").reset_index()
+    out["pages"] = out["pages"].map(
+        lambda v: v if isinstance(v, list) else [])
+    out["evidence_truncated"] = [
+        (len(p) > EVIDENCE_CAP) or (wt > len(p))
+        for p, wt in zip(out["pages"], out["weight"])
+    ]
+    out["pages"] = out["pages"].map(lambda p: p[:EVIDENCE_CAP])
+    return pa.table(
+        {
+            "src": pa.array(out["src"], type=pa.string()),
+            "dst": pa.array(out["dst"], type=pa.string()),
+            "rel": pa.array(out["rel"], type=pa.string()),
+            "weight": pa.array(out["weight"], type=pa.int64()),
+            "pages": pa.array(out["pages"].tolist(), type=pa.list_(pa.string())),
+            "evidence_truncated": pa.array(out["evidence_truncated"], type=pa.bool_()),
+        }
+    )
+
+
+def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64):
+    """pairs -> edges: partial combine per batch, then ONE bucketed shuffle
+    over the (much smaller) partials with a vectorized per-bucket merge."""
+    partials = pairs_ds.map_batches(
+        partial_edge_agg, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return bucketed_group_apply(partials, EDGE_KEYS, _merge_edges_bucket,
+                                num_buckets=num_buckets)
+
+
+def _merge_nodes_bucket(t: pa.Table) -> pa.Table:
+    """Vectorized LWW merge of all entities in one bucket.
+
+    The reference's node upsert overwrites ALL provided keys per record
+    (SET p += full attrs dict), so the merged attrs record is the attrs of
+    the LAST mention in (warc_ts, url, mention_id) order; surface forms
+    collect sorted distinct."""
+    df = pd.DataFrame(
+        {
+            "entity_id": t["entity_id"].to_pandas(),
+            "warc_ts": t["warc_ts"].to_pandas(),
+            "url": t["url"].to_pandas(),
+            "mention_id": t["mention_id"].to_pandas(),
+            "form": t["form"].to_pandas(),
+            "_i": range(t.num_rows),
+        }
+    )
+    ordered = df.sort_values(["entity_id", "warc_ts", "url", "mention_id"])
+    last = ordered.groupby("entity_id", sort=True).tail(1)
+    attrs_all = t["attrs"].to_pylist()
+    forms = (df.groupby("entity_id", sort=True)["form"]
+             .agg(lambda s: sorted(set(s))))
+    eids = last["entity_id"].tolist()
+    return pa.table(
+        {
+            "entity_id": pa.array(eids, type=pa.string()),
+            "attrs": pa.array([attrs_all[i] for i in last["_i"]],
+                              type=ATTRS_STRUCT),
+            "surface_forms": pa.array([forms[e] for e in eids],
+                                      type=pa.list_(pa.string())),
+        }
+    )
+
+
+def merge_nodes(linked_flat_ds, *, num_buckets: int = 64):
+    """flat linked mentions -> nodes table (one row per entity)."""
+    keep = linked_flat_ds.map_batches(
+        lambda t: t.filter(t["entity_id"].combine_chunks().is_valid()),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    return bucketed_group_apply(keep, ["entity_id"], _merge_nodes_bucket,
+                                num_buckets=num_buckets)

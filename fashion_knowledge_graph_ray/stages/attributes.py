@@ -1,0 +1,113 @@
+"""Stage 3: closed-vocabulary attribute extraction + style sentence (M8/M9).
+
+Reference semantics being re-expressed
+(`/root/reference/src/models/attribute_extraction_model.py:47-170`, prompt
+vocabulary `/root/reference/src/utils/prompts.py:1-32`):
+
+- extraction is closed-vocab: every field only ever takes values from its
+  vocabulary; anything else is impossible by construction;
+- the detected class label is given to the extractor and becomes ``type``
+  (the reference passes the segmented label into the GPT prompt);
+- on no evidence the field falls back to ``"unknown"`` / empty list —
+  never an error (attribute_extraction_model.py:100-114);
+- the style description (M9) in the reference is LLM prose; here it is the
+  canonical deterministic serialization of the extracted attrs, so it is a
+  pure function of the attrs record.
+
+Deterministic rules (frozen; conformance tests pin them):
+- the mention's context window is tokenized to lowercase word tokens;
+- scalar fields take the FIRST context token (by position) found in the
+  field vocabulary, else "unknown";
+- list fields take ALL distinct vocabulary hits, sorted alphabetically,
+  else the empty list;
+- ``type`` is the mention label when present, else vocabulary scan.
+
+This is a stateless ``map_batches`` stage over the page-mentions list
+column (one row per page; mentions never split across blocks).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..vocab import ATTRIBUTE_FIELDS, UNKNOWN
+
+_TOKEN_RE = re.compile(r"[a-z0-9][a-z0-9-]*")
+
+_VOCAB_SETS = {name: frozenset(vocab) for name, vocab, _ in ATTRIBUTE_FIELDS}
+_IS_LIST = {name: is_list for name, _, is_list in ATTRIBUTE_FIELDS}
+FIELD_ORDER = tuple(name for name, _, _ in ATTRIBUTE_FIELDS)
+
+
+def extract_attrs(context: str, label: str | None = None) -> dict:
+    """Pure per-mention extraction; see module docstring for the rules."""
+    tokens = _TOKEN_RE.findall((context or "").lower())
+    attrs: dict = {}
+    for name in FIELD_ORDER:
+        vocab = _VOCAB_SETS[name]
+        if _IS_LIST[name]:
+            hits = sorted({t for t in tokens if t in vocab})
+            attrs[name] = hits
+        else:
+            first = next((t for t in tokens if t in vocab), UNKNOWN)
+            attrs[name] = first
+    if label:
+        attrs["type"] = label
+    return attrs
+
+
+def style_sentence(attrs: dict) -> str:
+    """Canonical attrs serialization — deterministic M9 analog of the LLM
+    style sentence (attribute_extraction_model.py:116-170). '' when there
+    is nothing to say (the reference returns '' on failure)."""
+    parts = []
+    if attrs.get("color", UNKNOWN) != UNKNOWN:
+        parts.append(attrs["color"])
+    if attrs.get("fit", UNKNOWN) != UNKNOWN:
+        parts.append(attrs["fit"])
+    mats = attrs.get("material") or []
+    if mats:
+        parts.append("-".join(mats))
+    t = attrs.get("type", UNKNOWN)
+    parts.append(t if t != UNKNOWN else "piece")
+    styles = attrs.get("style") or []
+    if styles:
+        parts.append("for " + "-".join(styles) + " looks")
+    if len(parts) == 1 and t == UNKNOWN:
+        return ""
+    return " ".join(parts)
+
+
+def attrs_batch(batch: pa.Table) -> pa.Table:
+    """page_mentions row -> same row with ``attrs`` + ``style_description``
+    added to every mention struct."""
+    mentions = batch["mentions"].to_pylist()
+    out = []
+    for recs in mentions:
+        new = []
+        for r in recs or []:
+            a = extract_attrs(r.get("context", ""), r.get("label"))
+            r = dict(r)
+            r["attrs"] = a
+            r["style_description"] = style_sentence(a)
+            new.append(r)
+        out.append(new)
+    from .mentions import MENTION_STRUCT
+    from ..schemas import ATTRS_STRUCT
+
+    enriched = pa.struct(
+        list(MENTION_STRUCT)
+        + [pa.field("attrs", ATTRS_STRUCT), pa.field("style_description", pa.string())]
+    )
+    arr = pa.array(out, type=pa.list_(enriched))
+    return batch.set_column(batch.schema.get_field_index("mentions"),
+                            "mentions", arr)
+
+
+def extract_attributes(page_mentions_ds, *, batch_size: int = 512):
+    return page_mentions_ds.map_batches(
+        attrs_batch, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )

@@ -1,0 +1,61 @@
+"""Bucketed group application — the scale-shape for keyed reductions.
+
+``Dataset.groupby(keys).map_groups(fn)`` invokes ``fn`` once per group; with
+millions of tiny groups (edge keys, triple keys) the per-group Python
+dispatch dominates. The idiomatic fix at scale is to shuffle by a BUCKET of
+the key (``crc32(key) % B``) and run ONE vectorized function per bucket
+that does the per-key work with Arrow/pandas groupby kernels inside.
+
+All rows of a key always land in the same bucket, so per-key semantics are
+exact; ``B`` bounds both the shuffle fan-in and per-task memory (pick
+``B ≈ 4 × total cores`` on a real cluster). crc32 is process-stable, so
+bucket assignment is deterministic (never use builtin ``hash``).
+
+Skewed keys: a single hot KEY cannot be split below one bucket, but every
+caller here pre-aggregates per input batch first (partial combine), so a
+hot key arrives as at most one row per upstream batch — the salted
+two-phase design of SURVEY.md §4.3.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BUCKET_COL = "__bucket"
+
+
+def add_bucket_column(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
+    """Vectorized bucket id from the concatenated key columns."""
+    sep = pa.scalar("\x1f")
+    cols = [batch[k].cast(pa.string()) for k in keys]
+    joined = cols[0]
+    for c in cols[1:]:
+        joined = pc.binary_join_element_wise(joined, c, sep)
+    vals = joined.to_pylist()
+    b = np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) % num_buckets for v in vals),
+        dtype=np.int64, count=len(vals),
+    )
+    return batch.append_column(BUCKET_COL, pa.array(b))
+
+
+def bucketed_group_apply(ds, keys: list[str], bucket_fn, *,
+                         num_buckets: int = 64, batch_size: int = 16384):
+    """Shuffle ``ds`` by hash-bucket of ``keys`` and apply ``bucket_fn``
+    (pa.Table -> pa.Table, vectorized, must handle ALL keys in the bucket)
+    once per bucket. ``bucket_fn`` receives the table without the bucket
+    column."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return add_bucket_column(batch, keys, num_buckets)
+
+    def apply(t: pa.Table) -> pa.Table:
+        return bucket_fn(t.drop_columns([BUCKET_COL]))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+    return tagged.groupby(BUCKET_COL).map_groups(apply, batch_format="pyarrow")

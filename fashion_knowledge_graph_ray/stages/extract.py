@@ -58,17 +58,29 @@ def extract_pages(pages_ds, *, recompute: bool = False, batch_size: int = 1024):
                                 batch_size=batch_size, zero_copy_batch=True)
 
 
-def _dedup_group(df):
+def _dedup_urls_bucket(t: pa.Table) -> pa.Table:
     # keep-first by (warc_ts, url): reference G7 `drop_duplicates` keeps the
     # first occurrence (`/root/reference/src/engine/data_preprocessing.py:75-79`);
-    # our deterministic order is earliest capture wins.
-    return df.sort_values(["warc_ts", "url"]).head(1)
+    # our deterministic order is earliest capture wins. Vectorized within
+    # the bucket: sort + first-of-run.
+    import numpy as np
+
+    idx = pc.sort_indices(t, sort_keys=[("url", "ascending"),
+                                        ("warc_ts", "ascending")])
+    t = t.take(idx)
+    if t.num_rows <= 1:
+        return t
+    urls = np.asarray(t["url"].to_pandas())
+    mask = np.concatenate(([True], urls[1:] != urls[:-1]))
+    return t.filter(pa.array(mask))
 
 
-def dedup_pages(ds):
+def dedup_pages(ds, *, num_buckets: int = 64):
     """Exact dedup by ``url``, keep earliest ``warc_ts`` (G7 analog).
 
-    Hash-partition groupby on the key + per-group first — the idiomatic
-    exact-dedup shape at scale (shuffle keyed on ``url``).
-    """
-    return ds.groupby("url").map_groups(_dedup_group, batch_format="pandas")
+    Hash-bucket shuffle on the key + vectorized first-of-run per bucket —
+    the exact-dedup shape at scale (see stages/bucketed.py)."""
+    from .bucketed import bucketed_group_apply
+
+    return bucketed_group_apply(ds, ["url"], _dedup_urls_bucket,
+                                num_buckets=num_buckets)

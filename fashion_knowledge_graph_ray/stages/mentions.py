@@ -1,0 +1,170 @@
+"""Stage 2: mention detection — the segmentation analog (M6/T1).
+
+Reference semantics being re-expressed
+(`/root/reference/src/engine/image_processor.py:106-148` and
+`/root/reference/src/models/segmentation_model.py:208-237`):
+
+- per document, detect every known "class" present (there: SegFormer mask
+  classes; here: taxonomy surface forms + aliases via a compiled
+  word-boundary gazetteer), at most ONE item per class per document;
+- salience = matched chars (area analog); drop below
+  ``MIN_MENTION_CHARS`` (area >= 1028 analog at image_processor.py:117-119);
+- ``single_product_mode`` keeps only the top-1 item by salience
+  (image_processor.py:138-142).
+
+The detector is a callable CLASS (actor pool): the alternation pattern over
+all surface forms is compiled ONCE per actor in ``__init__``
+(reference analog: model load in ModelManager, model_manager.py:109).
+At real web scale the alternation would be an Aho-Corasick automaton; for
+10^2-10^4 forms Python's C regex engine is sufficient and dependency-free.
+
+Output keeps each page's mentions as ONE list<struct> row so that
+per-page pair semantics never depend on block boundaries (SURVEY.md §7.4
+"Cross-block pair semantics").
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+from ..vocab import MIN_MENTION_CHARS
+
+MENTION_STRUCT = pa.struct(
+    [
+        ("mention_id", pa.string()),
+        ("surface", pa.string()),       # verbatim matched text
+        ("form", pa.string()),          # lowercased gazetteer form
+        ("span_start", pa.int64()),
+        ("span_end", pa.int64()),
+        ("salience", pa.int64()),
+        ("n_hits", pa.int64()),
+        ("context", pa.string()),
+        ("label", pa.string()),         # taxonomy category of the form
+        ("entity_hint", pa.string()),   # gazetteer entity id of the form
+    ]
+)
+
+CONTEXT_WINDOW = 120  # chars either side of the span
+
+
+def build_gazetteer(taxonomy: pa.Table) -> dict[str, tuple[str, str]]:
+    """form(lower) -> (entity_id, category) for surfaces and aliases."""
+    gaz: dict[str, tuple[str, str]] = {}
+    for eid, surface, aliases, cat in zip(
+        taxonomy["entity_id"].to_pylist(),
+        taxonomy["surface"].to_pylist(),
+        taxonomy["aliases"].to_pylist(),
+        taxonomy["category"].to_pylist(),
+    ):
+        gaz[surface.lower()] = (eid, cat)
+        for a in aliases or []:
+            gaz.setdefault(a.lower(), (eid, cat))
+    return gaz
+
+
+def compile_pattern(forms) -> re.Pattern:
+    """Longest-first word-boundary alternation over all gazetteer forms."""
+    ordered = sorted(forms, key=lambda s: (-len(s), s))
+    return re.compile(
+        r"\b(?:" + "|".join(re.escape(f) for f in ordered) + r")\b",
+        re.IGNORECASE,
+    )
+
+
+def detect_in_text(text: str, url: str, pattern: re.Pattern,
+                   gaz: dict[str, tuple[str, str]],
+                   min_chars: int = MIN_MENTION_CHARS) -> list[dict]:
+    """Distinct-per-form mentions, ordered by first occurrence.
+
+    One record per (document, form) — the reference emits one item per mask
+    class per image regardless of pixel multiplicity; ``n_hits`` preserves
+    the raw occurrence count.
+    """
+    found: dict[str, dict] = {}
+    order: list[str] = []
+    for m in pattern.finditer(text):
+        form = m.group(0).lower()
+        if form in found:
+            found[form]["n_hits"] += 1
+            continue
+        if len(form) < min_chars:
+            continue  # area-threshold analog
+        s, e = m.start(), m.end()
+        eid, cat = gaz[form]
+        found[form] = {
+            "surface": m.group(0),
+            "form": form,
+            "span_start": s,
+            "span_end": e,
+            "salience": e - s,
+            "n_hits": 1,
+            "context": text[max(0, s - CONTEXT_WINDOW): e + CONTEXT_WINDOW],
+            "label": cat,
+            "entity_hint": eid,
+        }
+        order.append(form)
+    out = []
+    for k, form in enumerate(order):
+        rec = dict(found[form])
+        rec["mention_id"] = f"{url}#m{k}"
+        out.append(rec)
+    return out
+
+
+class MentionDetector:
+    """Actor-pool stage: pages(text) -> page rows with a mentions list column.
+
+    Use as ``ds.map_batches(MentionDetector, fn_constructor_args=(tax_ref,),
+    concurrency=N, batch_format="pyarrow")`` where ``tax_ref`` is a
+    ``ray.put`` handle of the taxonomy Arrow table (broadcast once, not
+    re-shipped per batch), or the table itself for local/test use.
+    """
+
+    def __init__(self, taxonomy_ref, single_product_mode: bool = False,
+                 min_chars: int = MIN_MENTION_CHARS):
+        tax = taxonomy_ref
+        if not isinstance(tax, pa.Table):
+            import ray
+
+            tax = ray.get(taxonomy_ref)
+        self.gaz = build_gazetteer(tax)
+        self.pattern = compile_pattern(self.gaz.keys())
+        self.single = single_product_mode
+        self.min_chars = min_chars
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        texts = batch["text"].to_pylist()
+        mentions_col = []
+        for url, text in zip(urls, texts):
+            recs = detect_in_text(text or "", url, self.pattern, self.gaz,
+                                  self.min_chars)
+            if self.single and len(recs) > 1:
+                # top-1 by salience, stable on earlier span (sort is stable;
+                # reference sorts desc by area and keeps the first —
+                # image_processor.py:140-141)
+                recs = [max(recs, key=lambda r: (r["salience"], -r["span_start"]))]
+            mentions_col.append(recs)
+        arr = pa.array(mentions_col, type=pa.list_(MENTION_STRUCT))
+        return pa.table(
+            {
+                "url": batch["url"],
+                "warc_ts": batch["warc_ts"],
+                "lang": batch["lang"],
+                "mentions": arr,
+            }
+        )
+
+
+def detect_mentions(pages_ds, taxonomy_ref, *, single_product_mode=False,
+                    concurrency=(1, 8), batch_size: int = 512):
+    """pages (url, warc_ts, text, lang) -> page_mentions Dataset."""
+    return pages_ds.map_batches(
+        MentionDetector,
+        fn_constructor_args=(taxonomy_ref, single_product_mode),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,125 @@
+"""Stage 5: per-page co-occurrence pair generation (G1) + mention explode.
+
+Reference semantics being re-expressed
+(`/root/reference/src/engine/process_social_media_images.py:113-146`):
+
+- only pages with >= 2 linked entities produce pairs (line 113);
+- all unordered pairs i<j of the page's DISTINCT linked entity ids
+  (entity set deduped, deterministic ascending order before pairing);
+- relation type (lines 121-131, via the id->category lookup J3): both
+  categories known and equal -> ``complemented_by``; different or either
+  missing -> ``worn_with``;
+- BOTH directions are written with identical properties (lines 135-146).
+
+Pair generation is a flat-map over the page-mentions list column — all
+mentions of a page live in one row, so no shuffle and no cross-block
+hazard. The category lookup is a broadcast small-side join (taxonomy
+<< pages).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..vocab import REL_COMPLEMENTED_BY, REL_WORN_WITH
+
+PAIRS_SCHEMA = pa.schema(
+    [
+        ("src", pa.string()),
+        ("dst", pa.string()),
+        ("rel", pa.string()),
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+    ]
+)
+
+
+def rel_type(cat_a: str | None, cat_b: str | None) -> str:
+    if cat_a and cat_b and cat_a == cat_b:
+        return REL_COMPLEMENTED_BY
+    return REL_WORN_WITH
+
+
+class PairGenerator:
+    """Callable stage: linked page_mentions -> pair rows (both directions)."""
+
+    def __init__(self, taxonomy_ref):
+        tax = taxonomy_ref
+        if not isinstance(tax, pa.Table):
+            import ray
+
+            tax = ray.get(taxonomy_ref)
+        self.cat = dict(zip(tax["entity_id"].to_pylist(),
+                            tax["category"].to_pylist()))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src, dst, rel, url_c, ts_c = [], [], [], [], []
+        urls = batch["url"].to_pylist()
+        tss = batch["warc_ts"].to_pylist()
+        for url, ts, recs in zip(urls, tss, batch["mentions"].to_pylist()):
+            ents = sorted({r["entity_id"] for r in (recs or [])
+                           if r.get("entity_id")})
+            if len(ents) < 2:
+                continue
+            for i in range(len(ents)):
+                for j in range(i + 1, len(ents)):
+                    a, b = ents[i], ents[j]
+                    r = rel_type(self.cat.get(a), self.cat.get(b))
+                    # both directions, same properties (ref lines 135-146)
+                    src.extend((a, b))
+                    dst.extend((b, a))
+                    rel.extend((r, r))
+                    url_c.extend((url, url))
+                    ts_c.extend((ts, ts))
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.string()),
+                "dst": pa.array(dst, type=pa.string()),
+                "rel": pa.array(rel, type=pa.string()),
+                "url": pa.array(url_c, type=pa.string()),
+                "warc_ts": pa.array(ts_c, type=pa.timestamp("us", tz="UTC")),
+            },
+            schema=PAIRS_SCHEMA,
+        )
+
+
+def generate_pairs(linked_ds, taxonomy_ref, *, batch_size: int = 1024):
+    return linked_ds.map_batches(
+        PairGenerator,
+        fn_constructor_args=(taxonomy_ref,),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
+def explode_mentions_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized unnest of the mentions list column: one output row per
+    mention, page columns repeated via take on list_parent_indices."""
+    arr = batch["mentions"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    parent = pc.list_parent_indices(arr)
+    flat = pc.list_flatten(arr)
+    cols: dict[str, pa.Array] = {}
+    for name in batch.schema.names:
+        if name == "mentions":
+            continue
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        cols[name] = pc.take(col, parent)
+    st = flat
+    for field in st.type:
+        cols[field.name] = st.field(field.name)
+    return pa.table(cols)
+
+
+def explode_mentions(linked_ds, *, batch_size: int = 1024):
+    """linked page_mentions -> flat mentions table (url, warc_ts, lang,
+    mention fields..., attrs, entity_id, link_score)."""
+    return linked_ds.map_batches(
+        explode_mentions_batch, batch_format="pyarrow",
+        batch_size=batch_size, zero_copy_batch=True,
+    )
