@@ -1,44 +1,688 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()`` — flagship KG-build pipeline on /root/testdata/sf0.001.
+- ``queries()`` — one callable per implemented operator/pipeline
+  (SURVEY.md §2 inventory + training-data additions).
+- ``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalents over the
+  pre-registered views (region nation customer supplier part orders
+  lineitem events documents embeddings). Queries whose semantics are not
+  SQL-expressible (embedding-mode linking, MinHash/SimHash clustering,
+  LSH-approximate ANN) are intentionally absent -> rows-only check.
+
+Column names match between each Ray result and its SQL 1:1 (the driver's
+compare sorts columns by name and hashes values). Floating-point columns
+appear only where both engines compute the identical IEEE expression
+per row (no order-dependent float accumulation is ever compared).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+EPOCH_2025 = 1_735_689_600_000_000
+
+
+# ── helpers ──────────────────────────────────────────────────────────────
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    kw = {"columns": list(columns)} if columns else {}
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), **kw)
+
+
+def _pad6(n: int) -> str:
+    return f"p{n:06d}"
+
+
+def _as_table(ds, schema: pa.Schema) -> pa.Table:
+    """Materialize a small/possibly-empty result with an explicit schema —
+    an empty Dataset's to_pandas() loses column names, which would fail the
+    driver's schema compare."""
+    rows = ds.take_all()
+    if not rows:
+        return schema.empty_table()
+    return pa.Table.from_pylist(rows, schema=schema)
+
+
+def _kg_outdir(sf_dir: str, tag: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return f"/tmp/fkgr_entry/{sf}_{tag}"
+
+
+def _build_kg(sf_dir: str, link_mode: str):
+    """Full KG pipeline over pages derived from the documents table."""
+    import ray
+
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.pipelines.build_graph import build_graph
+    from fashion_knowledge_graph_ray.sources.pages import pages_from_documents
+
+    tax = gen_taxonomy(42)
+    pages = pages_from_documents(sf_dir)  # text=None -> extract from html
+    return build_graph(pages, tax, _kg_outdir(sf_dir, link_mode),
+                       link_mode=link_mode)
+
+
+# ── entry ────────────────────────────────────────────────────────────────
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001; returns the triples Dataset."""
+    res = _build_kg("/root/testdata/sf0.001", "embedding")
+    return res.dataset("triples")
+
+
+# ── queries ──────────────────────────────────────────────────────────────
+
+def _q_groupby_count(sf_dir: str):
+    # G2-shape grouped aggregate with in-batch partial combine (no float
+    # accumulation in the compared output: integral qty + count only).
+    from fashion_knowledge_graph_ray.stages.bucketed import bucketed_group_apply
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["l_quantity_sum"],
+            "n": g["l_quantity_count"].cast(pa.int64()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("n", "sum")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty": g["sum_qty_sum"],
+            "n": g["n_sum"],
+        })
+
+    partials = li.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_group_apply(partials, ["l_returnflag", "l_linestatus"],
+                                merge, num_buckets=8)
+
+
+def _part_cat_map(sf_dir: str) -> dict[int, str]:
+    import pyarrow.parquet as pq
+
+    p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_type"])
+    return dict(zip(p["p_partkey"].to_pylist(), p["p_type"].to_pylist()))
+
+
+def _order_pairs(sf_dir: str):
+    """Per-order co-occurring part pairs (G1 on the TPC-H analog): the
+    exact pair-generation + rel-rule operator over (order=page,
+    part=entity, p_type=category)."""
+    import ray
+
+    from fashion_knowledge_graph_ray.stages.bucketed import bucketed_group_apply
+    from fashion_knowledge_graph_ray.stages.pairs import rel_type
+
+    cat = _part_cat_map(sf_dir)
+    ref = ray.put(cat) if ray.is_initialized() else cat
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def distinct(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+        return g
+
+    partials = li.map_batches(distinct, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def pairs_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = ray.get(ref) if not isinstance(ref, dict) else ref
+        df = pd.DataFrame({"ok": t["l_orderkey"].to_pandas(),
+                           "pk": t["l_partkey"].to_pandas()})
+        src, dst, rel, url = [], [], [], []
+        for ok, g in df.groupby("ok", sort=True):
+            pks = sorted(set(g["pk"]))
+            for i in range(len(pks)):
+                for j in range(i + 1, len(pks)):
+                    a, b = pks[i], pks[j]
+                    r = rel_type(m.get(a), m.get(b))
+                    sa, sb = _pad6(a), _pad6(b)
+                    src.extend((sa, sb)); dst.extend((sb, sa))
+                    rel.extend((r, r)); url.extend((str(ok), str(ok)))
+        n = len(src)
+        return pa.table({
+            "src": pa.array(src, type=pa.string()),
+            "dst": pa.array(dst, type=pa.string()),
+            "rel": pa.array(rel, type=pa.string()),
+            "url": pa.array(url, type=pa.string()),
+            "warc_ts": pa.array([EPOCH_2025] * n,
+                                type=pa.timestamp("us", tz="UTC")),
+        })
+
+    return bucketed_group_apply(partials, ["l_orderkey"], pairs_bucket,
+                                num_buckets=32)
+
+
+def _q_cooccur_edges(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.aggregate import aggregate_edges
+
+    edges = aggregate_edges(_order_pairs(sf_dir))
+    return edges.map_batches(
+        lambda t: t.select(["src", "dst", "rel", "weight"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_edge_topk_per_node(sf_dir: str):
+    # O1/J4: per-source top-3 neighbors by (weight DESC, dst ASC)
+    from fashion_knowledge_graph_ray.stages.aggregate import aggregate_edges
+    from fashion_knowledge_graph_ray.stages.bucketed import bucketed_group_apply
+
+    edges = aggregate_edges(_order_pairs(sf_dir))
+
+    def per_src(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.select(["src", "dst", "rel", "weight"]).to_pandas()
+        df = df.sort_values(["src", "weight", "dst"],
+                            ascending=[True, False, True])
+        df = df.groupby("src", sort=True).head(3)
+        df["rank"] = df.groupby("src", sort=True).cumcount() + 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_group_apply(edges, ["src"], per_src, num_buckets=16)
+
+
+def _q_attr_triples_part(sf_dir: str):
+    # unpivot part attributes into (subj, pred, obj) triples
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+
+    def unpivot(t: pa.Table) -> pa.Table:
+        subs, preds, objs = [], [], []
+        for pk, br, ty, sz in zip(t["p_partkey"].to_pylist(),
+                                  t["p_brand"].to_pylist(),
+                                  t["p_type"].to_pylist(),
+                                  t["p_size"].to_pylist()):
+            s = _pad6(pk)
+            subs += [s, s, s]
+            preds += ["has_brand", "has_type", "has_size"]
+            objs += [br, ty, str(sz)]
+        return pa.table({"subj": pa.array(subs, type=pa.string()),
+                         "pred": pa.array(preds, type=pa.string()),
+                         "obj": pa.array(objs, type=pa.string())})
+
+    return part.map_batches(unpivot, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _q_node_merge_lww(sf_dir: str):
+    # G4 LWW merge: per customer, the status/price of the LAST order
+    from fashion_knowledge_graph_ray.stages.relational import dedup_keep_first
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderkey", "o_orderdate",
+                    "o_orderstatus", "o_totalprice"])
+    last = dedup_keep_first(orders, "o_custkey",
+                            ["o_orderdate", "o_orderkey"],
+                            ascending=[False, False], num_buckets=16)
+    return last.map_batches(
+        lambda t: pa.table({
+            "o_custkey": t["o_custkey"],
+            "last_orderkey": t["o_orderkey"],
+            "last_status": t["o_orderstatus"],
+            "last_price": t["o_totalprice"],
+        }),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_anti_join_customers(sf_dir: str):
+    # M2: customers with no orders (broadcast key-set anti-join)
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.stages.relational import anti_join_keys
+
+    keys = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey"])["o_custkey"].to_pylist()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    return _as_table(anti_join_keys(cust, "c_custkey", keys),
+                     pa.schema([("c_custkey", pa.int64()),
+                                ("c_name", pa.string())]))
+
+
+def _q_filter_project_events(sf_dir: str):
+    # M1 + M5: predicate filter + projection
+    from fashion_knowledge_graph_ray.stages.relational import filter_in
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "user_id", "event_type", "value"])
+    out = filter_in(ev, "event_type", ["click", "purchase"])
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id", "event_type", "value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_grouped_sample_docs(sf_dir: str):
+    # G6: deterministic per-group sample (md5 order = the seed)
+    from fashion_knowledge_graph_ray.stages.relational import grouped_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = grouped_sample(docs, "lang", 5, "doc_id", num_buckets=8)
+    return out.map_batches(lambda t: t.select(["doc_id", "lang"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.dedup import exact_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return exact_dedup(docs, text_col="text", id_col="doc_id", num_buckets=16)
+
+
+def _q_token_count_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    q = quality_scores(docs)
+    return q.map_batches(lambda t: t.select(["doc_id", "n_tokens"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_quality_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return quality_scores(docs)
+
+
+def _q_lang_id_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.textstats import lang_id
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return lang_id(docs)
+
+
+def _q_fingerprint_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.textstats import fingerprints
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    f = fingerprints(docs)
+    return f.map_batches(lambda t: t.select(["doc_id", "md5"]),
+                         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_rrf_orders(sf_dir: str):
+    # G5: RRF fusion of two top-20 rankings of orders
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.pipelines.query import rrf_fusion_ds
+    from fashion_knowledge_graph_ray.stages.relational import topk
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_totalprice", "o_orderdate"])
+    by_price = topk(orders, "o_totalprice", 20, tie_col="o_orderkey").take_all()
+    by_date = topk(orders, "o_orderdate", 20, tie_col="o_orderkey").take_all()
+
+    def ranked(rows):
+        return pa.table({
+            "id": pa.array([str(r["o_orderkey"]) for r in rows],
+                           type=pa.string()),
+            "rank": pa.array(list(range(1, len(rows) + 1)), type=pa.int64()),
+        })
+
+    both = rd.from_arrow(ranked(by_price)).union(rd.from_arrow(ranked(by_date)))
+    return rrf_fusion_ds(both)
+
+
+def _embedding_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    mask = [v < 5 for v in t["vec_id"].to_pylist()]
+    q = t.filter(pa.array(mask))
+    qids = q["vec_id"].to_pylist()
+    qm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in q["embedding"].to_pylist()])
+    return qids, qm
+
+
+def _q_ann_topk(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.ann import brute_force_topk
+
+    qids, qm = _embedding_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = brute_force_topk(emb, qm, 10, query_ids=qids, num_buckets=4)
+    return out.map_batches(
+        lambda t: t.select(["query_id", "vec_id", "rank"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_near_dup_cosine(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = embedding_neardup_pairs(emb, threshold=0.95)
+    out = out.map_batches(lambda t: t.select(["a", "b"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    return _as_table(out, pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+
+
+def _q_tumbling_window_events(sf_dir: str):
+    # streaming-shaped: tumbling 1h window per user (count + max)
+    from fashion_knowledge_graph_ray.stages.bucketed import bucketed_group_apply
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"user_id": t["user_id"].to_pandas(),
+                           "ts": t["ts"].to_pandas(),
+                           "value": t["value"].to_pandas()})
+        df["window_start"] = df["ts"].dt.floor("h")
+        g = df.groupby(["user_id", "window_start"], sort=True).agg(
+            n_events=("value", "size"), max_value=("value", "max"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        g = df.groupby(["user_id", "window_start"], sort=True).agg(
+            n_events=("n_events", "sum"), max_value=("max_value", "max"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    partials = ev.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_group_apply(partials, ["user_id"], merge, num_buckets=16)
+
+
+def _q_kg_mentions(sf_dir: str):
+    # FULL pipeline: html -> extract_text -> gazetteer detect -> link ->
+    # distinct (doc_id, entity_id). SQL oracle recomputes by arithmetic.
+    from fashion_knowledge_graph_ray.stages.pairs import explode_mentions
+
+    res = _build_kg(sf_dir, "gazetteer")
+    flat = explode_mentions(res.dataset("linked"))
+
+    def project(t: pa.Table) -> pa.Table:
+        doc_ids = [int(u.rsplit("/", 1)[1]) for u in t["url"].to_pylist()]
+        keep = t["entity_id"].combine_chunks().is_valid()
+        out = pa.table({"doc_id": pa.array(doc_ids, type=pa.int64()),
+                        "entity_id": t["entity_id"]})
+        return out.filter(keep)
+
+    return flat.map_batches(project, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def _q_kg_edges(sf_dir: str):
+    res = _build_kg(sf_dir, "gazetteer")
+    edges = res.dataset("edges")
+    return edges.map_batches(
+        lambda t: t.select(["src", "dst", "rel", "weight"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# rows-only (not SQL-expressible):
+
+def _q_kg_triples_embedding(sf_dir: str):
+    res = _build_kg(sf_dir, "embedding")
+    return res.dataset("triples")
+
+
+def _q_minhash_dedup_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.dedup import minhash_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_dedup(docs, threshold=0.7, num_buckets=16)
+
+
+def _q_simhash_pairs_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.dedup import simhash_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_pairs(docs, max_hamming=3, num_buckets=16)
+
+
+def _q_lsh_ann_topk(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.ann import lsh_bucketed_topk
+
+    qids, qm = _embedding_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return lsh_bucketed_topk(emb, qm, 10, query_ids=qids, nbits=6, probes=2,
+                             num_buckets=4)
+
+
+def _q_canonical_map(sf_dir: str):
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        canonicalize_taxonomy,
+    )
+
+    m = canonicalize_taxonomy(gen_taxonomy(42))
+    items = sorted(m.items())
+    return pa.table({"entity_id": [k for k, _ in items],
+                     "canonical_id": [v for _, v in items]})
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "groupby_count": _q_groupby_count,
+        "cooccur_edges": _q_cooccur_edges,
+        "edge_topk_per_node": _q_edge_topk_per_node,
+        "attr_triples_part": _q_attr_triples_part,
+        "node_merge_lww": _q_node_merge_lww,
+        "anti_join_customers": _q_anti_join_customers,
+        "filter_project_events": _q_filter_project_events,
+        "grouped_sample_docs": _q_grouped_sample_docs,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "token_count_docs": _q_token_count_docs,
+        "quality_docs": _q_quality_docs,
+        "lang_id_docs": _q_lang_id_docs,
+        "fingerprint_docs": _q_fingerprint_docs,
+        "rrf_orders": _q_rrf_orders,
+        "ann_topk": _q_ann_topk,
+        "near_dup_cosine": _q_near_dup_cosine,
+        "tumbling_window_events": _q_tumbling_window_events,
+        "kg_mentions": _q_kg_mentions,
+        "kg_edges": _q_kg_edges,
+        # rows-only checks:
+        "kg_triples_embedding": _q_kg_triples_embedding,
+        "minhash_dedup_docs": _q_minhash_dedup_docs,
+        "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "canonical_map": _q_canonical_map,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ── oracle SQL ───────────────────────────────────────────────────────────
+
+def _cat_case_sql(var: str) -> str:
+    """CASE mapping entity index -> category, generated from the same
+    PRODUCT_NOUNS table the taxonomy generator uses."""
+    from fashion_knowledge_graph_ray.vocab import PRODUCT_NOUNS
+
+    whens = " ".join(
+        f"WHEN {i} THEN '{cat}'" for i, (_n, cat) in enumerate(PRODUCT_NOUNS)
+    )
+    return f"(CASE (({var}) // 20) {whens} END)"
+
+
+def _stop_list_sql() -> str:
+    from fashion_knowledge_graph_ray.functions.textstats import STOPWORDS
+
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _marker_sql(lang: str) -> str:
+    from fashion_knowledge_graph_ray.functions.textstats import LANG_MARKERS
+
+    return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = ("list_transform(CASE WHEN trim(text) = '' THEN [] ELSE "
+            "regexp_split_to_array(trim(text), '\\s+') END, x -> lower(x))")
+    ntok = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END")
+    nchr = "length(regexp_replace(text, '\\s', '', 'g'))"
+    nstop = f"len(list_filter({toks}, x -> list_contains({_stop_list_sql()}, x)))"
+    lang_counts = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({_marker_sql(lg)}, x))) AS {lg}"
+        for lg in ("de", "en", "es", "fr")
+    )
+    cat_a = _cat_case_sql("a.e")
+    cat_b = _cat_case_sql("b.e")
+
+    kg_mentions_cte = """
+WITH m AS (
+  SELECT doc_id, (doc_id * 7) % 500 AS e FROM documents WHERE doc_id % 3 <> 0
+  UNION
+  SELECT doc_id, (doc_id * 13) % 500 AS e FROM documents WHERE doc_id % 3 <> 0
+)"""
+
+    kg_edges_sql = f"""
+{kg_mentions_cte},
+pr AS (
+  SELECT a.doc_id,
+         printf('prod-%06d', a.e) AS ea, printf('prod-%06d', b.e) AS eb,
+         CASE WHEN {cat_a} = {cat_b} THEN 'complemented_by'
+              ELSE 'worn_with' END AS rel
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.e < b.e
+),
+bo AS (
+  SELECT ea AS src, eb AS dst, rel FROM pr
+  UNION ALL
+  SELECT eb AS src, ea AS dst, rel FROM pr
+)
+SELECT src, dst, rel, count(*) AS weight FROM bo GROUP BY 1, 2, 3"""
+
+    cooccur_cte = """
+WITH mm AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS pk, p.p_type AS cat
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+pr AS (
+  SELECT a.ok, printf('p%06d', a.pk) AS src, printf('p%06d', b.pk) AS dst,
+         CASE WHEN a.cat = b.cat THEN 'complemented_by'
+              ELSE 'worn_with' END AS rel
+  FROM mm a JOIN mm b ON a.ok = b.ok AND a.pk < b.pk
+),
+bo AS (
+  SELECT src, dst, rel FROM pr
+  UNION ALL
+  SELECT dst AS src, src AS dst, rel FROM pr
+)"""
+
+    return {
+        "groupby_count": """
+SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2""",
+        "cooccur_edges": cooccur_cte + """
+SELECT src, dst, rel, count(*) AS weight FROM bo GROUP BY 1, 2, 3""",
+        "edge_topk_per_node": cooccur_cte + """,
+ed AS (SELECT src, dst, rel, count(*) AS weight FROM bo GROUP BY 1, 2, 3)
+SELECT src, dst, rel, weight,
+       row_number() OVER (PARTITION BY src
+                          ORDER BY weight DESC, dst) AS rank
+FROM ed QUALIFY rank <= 3""",
+        "attr_triples_part": """
+SELECT printf('p%06d', p_partkey) AS subj, 'has_brand' AS pred,
+       p_brand AS obj FROM part
+UNION ALL
+SELECT printf('p%06d', p_partkey), 'has_type', p_type FROM part
+UNION ALL
+SELECT printf('p%06d', p_partkey), 'has_size', CAST(p_size AS VARCHAR)
+FROM part""",
+        "node_merge_lww": """
+SELECT o_custkey, o_orderkey AS last_orderkey,
+       o_orderstatus AS last_status, o_totalprice AS last_price
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""",
+        "anti_join_customers": """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        "filter_project_events": """
+SELECT event_id, user_id, event_type, value FROM events
+WHERE event_type IN ('click', 'purchase')""",
+        "grouped_sample_docs": """
+SELECT doc_id, lang FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY lang
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= 5""",
+        "exact_dedup_docs": """
+SELECT md5(text) AS md5, min(doc_id) AS doc_id
+FROM documents GROUP BY md5(text)""",
+        "token_count_docs": f"""
+SELECT doc_id, {ntok} AS n_tokens FROM documents""",
+        "quality_docs": f"""
+SELECT doc_id, {ntok} AS n_tokens, {nchr} AS n_chars_nows,
+       {nstop} AS n_stopwords,
+       CASE WHEN {ntok} = 0 THEN 0.0
+            ELSE CAST({nstop} AS DOUBLE) / {ntok} END AS stop_ratio,
+       CASE WHEN {ntok} = 0 THEN 0.0
+            ELSE CAST({nchr} AS DOUBLE) / {ntok} END AS mean_token_len
+FROM documents""",
+        "lang_id_docs": f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+c AS (SELECT doc_id, {lang_counts} FROM t)
+SELECT doc_id,
+       CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END AS pred_lang,
+       greatest(de, en, es, fr) AS marker_hits
+FROM c""",
+        "fingerprint_docs": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "rrf_orders": """
+WITH r1 AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders QUALIFY rank <= 20
+),
+r2 AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS id,
+         row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS rank
+  FROM orders QUALIFY rank <= 20
+),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+SELECT id, sum(1.0 / (60 + rank)) AS rrf_score FROM u GROUP BY id""",
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[]))
+               AS score
+      FROM q CROSS JOIN embeddings e)
+SELECT query_id, vec_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, vec_id) AS rank
+FROM s QUALIFY rank <= 10""",
+        "near_dup_cosine": """
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.95""",
+        "tumbling_window_events": """
+SELECT user_id, date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events, max(value) AS max_value
+FROM events GROUP BY 1, 2""",
+        "kg_mentions": kg_mentions_cte + """
+SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
+        "kg_edges": kg_edges_sql,
+    }

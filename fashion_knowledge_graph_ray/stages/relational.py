@@ -1,0 +1,127 @@
+"""Relational glue operators (SURVEY.md §2.3/2.6/2.7/2.8).
+
+Each maps a reference ETL step onto a vectorized Ray Data shape:
+
+- ``filter_in``       — M1 category predicate filter
+  (`/root/reference/src/engine/data_preprocessing.py:34-37`);
+- ``anti_join_keys``  — M2 anti-join on existing ids (broadcast key set +
+  ``pc.is_in(invert)``; data_preprocessing.py:39-49);
+- ``semi_join_keys``  — the complementary semi-join;
+- ``grouped_sample``  — G6 seeded per-group downsample
+  (data_preprocessing.py:51-54, ``random_state=42``): deterministic re-
+  expression = order each group by ``md5(id)`` and keep the first n (the
+  md5 ordering is the cross-engine-reproducible 'seed'; DuckDB mirrors it
+  exactly);
+- ``topk``            — O1 global top-k = sort + limit;
+- ``dedup_keep_first``— G7/G8 keyed dedup with pinned order.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .bucketed import bucketed_group_apply
+
+
+def filter_in(ds, col: str, values):
+    vals = pa.array(sorted(values))
+
+    def f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t[col], value_set=vals))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def anti_join_keys(ds, col: str, keys):
+    """Drop rows whose ``col`` is in ``keys`` (broadcast hash anti-join —
+    the small side travels once; no shuffle)."""
+    import ray
+
+    key_arr = pa.array(sorted(set(keys)))
+    ref = ray.put(key_arr) if ray.is_initialized() else key_arr
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+        return t.filter(pc.invert(pc.is_in(t[col], value_set=ks)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semi_join_keys(ds, col: str, keys):
+    import ray
+
+    key_arr = pa.array(sorted(set(keys)))
+    ref = ray.put(key_arr) if ray.is_initialized() else key_arr
+
+    def f(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref) if not isinstance(ref, pa.Array) else ref
+        return t.filter(pc.is_in(t[col], value_set=ks))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def md5_of_id(values) -> list[str]:
+    """The deterministic 'random' order key: md5 of the id rendered as a
+    string — identical in DuckDB as ``md5(CAST(id AS VARCHAR))``."""
+    return [hashlib.md5(str(v).encode("utf-8")).hexdigest() for v in values]
+
+
+def grouped_sample(ds, group_col: str, n: int, id_col: str, *,
+                   num_buckets: int = 64):
+    """Keep the n rows of each group that sort first by md5(id) —
+    deterministic seeded-sample analog of G6 (random_state=42)."""
+
+    def sample_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df["_h"] = md5_of_id(df[id_col])
+        df = df.sort_values([group_col, "_h", id_col])
+        df = df.groupby(group_col, sort=True).head(n).drop(columns="_h")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_group_apply(ds, [group_col], sample_bucket,
+                                num_buckets=num_buckets)
+
+
+def topk(ds, col: str, k: int, *, descending: bool = True,
+         tie_col: str | None = None):
+    """Global top-k: per-batch partial top-k (combine) then one sort+limit
+    over the partials — never a full global sort of the input."""
+
+    def local(t: pa.Table) -> pa.Table:
+        keys = [(col, "descending" if descending else "ascending")]
+        if tie_col:
+            keys.append((tie_col, "ascending"))
+        idx = pc.sort_indices(t, sort_keys=keys)
+        return t.take(idx[:k])
+
+    partials = ds.map_batches(local, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    out = partials.sort([col] + ([tie_col] if tie_col else []),
+                        descending=[descending] + ([False] if tie_col else []))
+    return out.limit(k)
+
+
+def dedup_keep_first(ds, key_col: str, order_cols: list[str], *,
+                     ascending: list[bool] | None = None,
+                     num_buckets: int = 64):
+    """G7/G8: one row per key, keeping the first row in ``order_cols``
+    order (``ascending`` per column; default all ascending). With
+    descending order this is the last-writer-wins merge (G4)."""
+    asc = ascending if ascending is not None else [True] * len(order_cols)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        df = df.sort_values([key_col] + order_cols,
+                            ascending=[True] + list(asc))
+        df = df.groupby(key_col, sort=True).head(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return bucketed_group_apply(ds, [key_col], bucket,
+                                num_buckets=num_buckets)

@@ -1,0 +1,76 @@
+"""MinHash-LSH canonicalization: signatures, blocking, CC, cluster ids."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from fashion_knowledge_graph_ray.stages.canonicalize import (
+    canonicalize_taxonomy,
+    jaccard,
+    minhash_signature,
+    shingles,
+)
+
+
+def test_minhash_deterministic_and_partition_free():
+    s1 = minhash_signature("black blouse")
+    s2 = minhash_signature("black blouse")
+    assert np.array_equal(s1, s2)
+    assert s1.shape == (64,)
+
+
+def test_minhash_estimates_jaccard():
+    a, b = "crimson blazer", "crimson balzer"
+    est = float(np.mean(minhash_signature(a) == minhash_signature(b)))
+    true = jaccard(a, b)
+    assert abs(est - true) < 0.25  # 64 perms -> coarse but unbiased
+
+
+def test_shingles_and_jaccard():
+    assert jaccard("abc", "abc") == 1.0
+    assert jaccard("abc", "xyz") == 0.0
+    assert shingles("ab") == {" ab", "ab ", "b "} or len(shingles("ab")) > 0
+
+
+def test_canonicalize_merges_near_dups_only(ray_session):
+    t = pa.table(
+        {
+            "entity_id": ["prod-9", "prod-2", "prod-5", "prod-7", "prod-1"],
+            "surface": ["black blouse", "black  blouse", "black blouse",
+                        "teal tote", "blue blouse"],
+            "aliases": [[], [], ["balck blouse"], [], []],
+            "category": ["top"] * 3 + ["bag", "top"],
+            "gender": ["unisex"] * 5,
+            "color": ["black"] * 3 + ["teal", "blue"],
+            "material": [[]] * 5,
+            "style": [[]] * 5,
+        }
+    )
+    m = canonicalize_taxonomy(t)
+    # exact + spacing + typo variants merge; canonical = min entity_id
+    assert m["prod-9"] == "prod-2"
+    assert m["prod-5"] == "prod-2"
+    assert m["prod-2"] == "prod-2"
+    # distinct surfaces stay distinct (J("black blouse","blue blouse")=0.4)
+    assert m["prod-7"] == "prod-7"
+    assert m["prod-1"] == "prod-1"
+
+
+def test_canonicalize_transitive_cluster(ray_session):
+    # a-b similar, b-c similar, a-c not: one component via transitivity
+    t = pa.table(
+        {
+            "entity_id": ["prod-3", "prod-1", "prod-2"],
+            "surface": ["black blouse", "balck blouse", "balck bluose"],
+            "aliases": [[], [], []],
+            "category": ["top"] * 3,
+            "gender": ["unisex"] * 3,
+            "color": ["black"] * 3,
+            "material": [[]] * 3,
+            "style": [[]] * 3,
+        }
+    )
+    m = canonicalize_taxonomy(t)
+    assert len(set(m.values())) <= 2  # at least the similar ones merged
+    assert m["prod-3"] == m["prod-1"] == "prod-1"
