@@ -1,0 +1,165 @@
+"""Benchmark driver. Prints ONE JSON line.
+
+- ``python bench.py`` — headline: full KG build (extract -> detect ->
+  attrs -> link -> pairs -> edges/nodes/triples, embedding mode) over a
+  cached 50k-page synthetic corpus, plus per-query timings over
+  ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1). ``value`` = headline
+  seconds. Parallelism from ``$RAY_GRAFT_CPUS`` (default 32).
+- ``python bench.py --scaling`` — runs the headline twice in fresh
+  subprocesses at num_cpus=8 and num_cpus=32 on the SAME input and prints
+  both times plus scaling efficiency = (t8/t32)/(32/8) (the sandbox proxy
+  for N-vs-4N cluster sizes; see BASELINE.md).
+
+Page-corpus generation is cached on disk under /tmp and excluded from the
+timed region; one untimed read warms the OS page cache first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+BENCH_PAGES = int(os.environ.get("FKGR_BENCH_PAGES", "50000"))
+BENCH_CACHE = "/tmp/fkgr_bench"
+QUERY_NAMES = [
+    "groupby_count", "cooccur_edges", "edge_topk_per_node",
+    "node_merge_lww", "grouped_sample_docs", "exact_dedup_docs",
+    "quality_docs", "minhash_dedup_docs", "ann_topk",
+    "tumbling_window_events", "kg_edges",
+]
+
+
+def _ensure_bench_pages(n_pages: int) -> str:
+    """Generate (once) the bench page corpus with Ray, cached on disk."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(BENCH_CACHE, f"pages_n{n_pages}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    from fashion_knowledge_graph_ray.datagen import pages_dataset
+
+    ds = pages_dataset(seed=42, n_pages=n_pages)
+    tmp = out + ".tmp"
+    ds.write_parquet(tmp)
+    os.makedirs(out, exist_ok=True)
+    for f in os.listdir(tmp):
+        os.replace(os.path.join(tmp, f), os.path.join(out, f))
+    os.rmdir(tmp)
+    # warm + sanity
+    pq.read_table(os.path.join(out, os.listdir(out)[0]))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def run_headline(num_cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.pipelines.build_graph import build_graph
+
+    pages_dir = _ensure_bench_pages(BENCH_PAGES)
+    # warm OS page cache (untimed)
+    for f in os.listdir(pages_dir):
+        if f.endswith(".parquet"):
+            pq.read_table(os.path.join(pages_dir, f))
+
+    tax = gen_taxonomy(42)
+    out_dir = os.path.join(BENCH_CACHE, f"kg_out_c{num_cpus}")
+    t0 = time.time()
+    res = build_graph(rd.read_parquet(pages_dir), tax, out_dir,
+                      link_mode="embedding",
+                      concurrency=(1, max(2, num_cpus // 2)))
+    dt = time.time() - t0
+    n_triples = sum(
+        pq.read_metadata(os.path.join(res.triples_path, f)).num_rows
+        for f in os.listdir(res.triples_path) if f.endswith(".parquet"))
+    return {
+        "kg_build_sec": round(dt, 2),
+        "pages": BENCH_PAGES,
+        "triples": int(n_triples),
+        "pages_per_sec": round(BENCH_PAGES / dt, 1),
+        "triples_per_sec": round(n_triples / dt, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume: Datasets are lazy — count() forces full execution
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    # CPU-bound NLP stages want many small blocks, not the IO-oriented
+    # 128 MiB default (a 65 MB corpus would otherwise run as ONE task and
+    # serialize the whole pipeline — observed in ds.stats()).
+    ctx.target_max_block_size = 1 * 1024 * 1024
+
+    headline = run_headline(num_cpus)
+    queries = run_queries(sf_dir)
+    result = {
+        "metric": "kg_build_sec",
+        "value": headline["kg_build_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        **{k: v for k, v in headline.items() if k != "kg_build_sec"},
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm the cache once (untimed) so both runs see identical disk state
+    run(8)
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    print(json.dumps({
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "pages_per_sec_8": lo["pages_per_sec"],
+        "pages_per_sec_32": hi["pages_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
