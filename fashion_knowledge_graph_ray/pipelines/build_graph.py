@@ -92,7 +92,10 @@ class GraphBuildResult:
     def dataset(self, which: str):
         import ray.data as rd
 
-        return rd.read_parquet(getattr(self, f"{which}_path"))
+        # partitioning=None: resumable builds lay tables out as
+        # part=i subdirs; lineage must not hive-inject a `part` column.
+        return rd.read_parquet(getattr(self, f"{which}_path"),
+                               partitioning=None)
 
 
 def build_linked(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",
