@@ -476,6 +476,33 @@ def _q_canonical_map(sf_dir: str):
                      "canonical_id": [v for _, v in items]})
 
 
+def _q_media_frame_sample(sf_dir: str):
+    # Video frame sampling (multimodal flat-map): one video -> every-10th
+    # frame row. Projection excludes the sliced payload so the oracle can
+    # check (media_id, frame_idx) exactly in SQL.
+    from fashion_knowledge_graph_ray.sources.media import media_from_documents
+    from fashion_knowledge_graph_ray.stages.multimodal import (
+        sample_video_frames,
+    )
+
+    frames = sample_video_frames(media_from_documents(sf_dir), every_k=10)
+    return frames.select_columns(["media_id", "frame_idx"])
+
+
+def _q_media_image_features(sf_dir: str):
+    from fashion_knowledge_graph_ray.sources.media import media_from_documents
+    from fashion_knowledge_graph_ray.stages.multimodal import image_features
+
+    return image_features(media_from_documents(sf_dir))
+
+
+def _q_media_audio_features(sf_dir: str):
+    from fashion_knowledge_graph_ray.sources.media import media_from_documents
+    from fashion_knowledge_graph_ray.stages.multimodal import audio_features
+
+    return audio_features(media_from_documents(sf_dir))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "groupby_count": _q_groupby_count,
@@ -497,7 +524,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window_events": _q_tumbling_window_events,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
+        "media_frame_sample": _q_media_frame_sample,
         # rows-only checks:
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
         "kg_triples_embedding": _q_kg_triples_embedding,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
@@ -685,4 +715,8 @@ FROM events GROUP BY 1, 2""",
         "kg_mentions": kg_mentions_cte + """
 SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges": kg_edges_sql,
+        "media_frame_sample": """
+SELECT printf('doc-%d', doc_id) AS media_id, f AS frame_idx
+FROM documents, (VALUES (0), (10), (20)) AS t(f)
+WHERE doc_id % 3 = 2""",
     }
