@@ -32,10 +32,17 @@ EPOCH_2025 = 1_735_689_600_000_000
 
 # ── helpers ──────────────────────────────────────────────────────────────
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, blocks: int | None = None):
+    """Column-pruned parquet read. ``blocks`` forces the single-file
+    testdata tables to split into that many read blocks — REQUIRED before
+    CPU-heavy per-doc stages (minhash, simhash, textstats): with the
+    default 128 MiB target block size a ~50 MB file is ONE block and the
+    whole stage would run as one task (observed in ds.stats())."""
     import ray.data as rd
 
     kw = {"columns": list(columns)} if columns else {}
+    if blocks:
+        kw["override_num_blocks"] = blocks
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), **kw)
 
 
@@ -146,27 +153,31 @@ def _order_pairs(sf_dir: str):
                               zero_copy_batch=True)
 
     def pairs_bucket(t: pa.Table) -> pa.Table:
+        # Vectorized per-order pairing: self-merge on orderkey + pk_x<pk_y
+        # mask (no Python loop over orders — the groupby-loop version was
+        # the single hottest spot in the sf0.1 bench).
         import pandas as pd
 
         m = ray.get(ref) if not isinstance(ref, dict) else ref
         df = pd.DataFrame({"ok": t["l_orderkey"].to_pandas(),
-                           "pk": t["l_partkey"].to_pandas()})
-        src, dst, rel, url = [], [], [], []
-        for ok, g in df.groupby("ok", sort=True):
-            pks = sorted(set(g["pk"]))
-            for i in range(len(pks)):
-                for j in range(i + 1, len(pks)):
-                    a, b = pks[i], pks[j]
-                    r = rel_type(m.get(a), m.get(b))
-                    sa, sb = _pad6(a), _pad6(b)
-                    src.extend((sa, sb)); dst.extend((sb, sa))
-                    rel.extend((r, r)); url.extend((str(ok), str(ok)))
-        n = len(src)
+                           "pk": t["l_partkey"].to_pandas()}).drop_duplicates()
+        j = df.merge(df, on="ok")
+        j = j[j["pk_x"] < j["pk_y"]]
+        # rel_type vectorized: equal non-null categories -> complemented_by,
+        # different or either missing -> worn_with (NaN != NaN keeps the
+        # missing-category rule; p_type is never empty-string in TPC-H).
+        cat = pd.Series(m)
+        same = (j["pk_x"].map(cat).values == j["pk_y"].map(cat).values)
+        rel = np.where(same, rel_type("x", "x"), rel_type("x", "y"))
+        sa = j["pk_x"].map(_pad6).values
+        sb = j["pk_y"].map(_pad6).values
+        ok = j["ok"].astype(str).values
+        n = 2 * len(j)
         return pa.table({
-            "src": pa.array(src, type=pa.string()),
-            "dst": pa.array(dst, type=pa.string()),
-            "rel": pa.array(rel, type=pa.string()),
-            "url": pa.array(url, type=pa.string()),
+            "src": pa.array(np.concatenate([sa, sb]), type=pa.string()),
+            "dst": pa.array(np.concatenate([sb, sa]), type=pa.string()),
+            "rel": pa.array(np.concatenate([rel, rel]), type=pa.string()),
+            "url": pa.array(np.concatenate([ok, ok]), type=pa.string()),
             "warc_ts": pa.array([EPOCH_2025] * n,
                                 type=pa.timestamp("us", tz="UTC")),
         })
@@ -276,7 +287,7 @@ def _q_grouped_sample_docs(sf_dir: str):
     # G6: deterministic per-group sample (md5 order = the seed)
     from fashion_knowledge_graph_ray.stages.relational import grouped_sample
 
-    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"], blocks=64)
     out = grouped_sample(docs, "lang", 5, "doc_id", num_buckets=8)
     return out.map_batches(lambda t: t.select(["doc_id", "lang"]),
                            batch_format="pyarrow", zero_copy_batch=True)
@@ -285,14 +296,14 @@ def _q_grouped_sample_docs(sf_dir: str):
 def _q_exact_dedup_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.dedup import exact_dedup
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
     return exact_dedup(docs, text_col="text", id_col="doc_id", num_buckets=16)
 
 
 def _q_token_count_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.textstats import quality_scores
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
     q = quality_scores(docs)
     return q.map_batches(lambda t: t.select(["doc_id", "n_tokens"]),
                          batch_format="pyarrow", zero_copy_batch=True)
@@ -301,21 +312,21 @@ def _q_token_count_docs(sf_dir: str):
 def _q_quality_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.textstats import quality_scores
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
     return quality_scores(docs)
 
 
 def _q_lang_id_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.textstats import lang_id
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
     return lang_id(docs)
 
 
 def _q_fingerprint_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.textstats import fingerprints
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
     f = fingerprints(docs)
     return f.map_batches(lambda t: t.select(["doc_id", "md5"]),
                          batch_format="pyarrow", zero_copy_batch=True)
@@ -360,7 +371,7 @@ def _q_ann_topk(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.ann import brute_force_topk
 
     qids, qm = _embedding_queries(sf_dir)
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
     out = brute_force_topk(emb, qm, 10, query_ids=qids, num_buckets=4)
     return out.map_batches(
         lambda t: t.select(["query_id", "vec_id", "rank"]),
@@ -370,7 +381,7 @@ def _q_ann_topk(sf_dir: str):
 def _q_near_dup_cosine(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.dedup import embedding_neardup_pairs
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
     out = embedding_neardup_pairs(emb, threshold=0.95)
     out = out.map_batches(lambda t: t.select(["a", "b"]),
                           batch_format="pyarrow", zero_copy_batch=True)
@@ -444,14 +455,14 @@ def _q_kg_triples_embedding(sf_dir: str):
 def _q_minhash_dedup_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.dedup import minhash_dedup
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
     return minhash_dedup(docs, threshold=0.7, num_buckets=16)
 
 
 def _q_simhash_pairs_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.dedup import simhash_pairs
 
-    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
     return simhash_pairs(docs, max_hamming=3, num_buckets=16)
 
 
@@ -459,7 +470,7 @@ def _q_lsh_ann_topk(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.ann import lsh_bucketed_topk
 
     qids, qm = _embedding_queries(sf_dir)
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
     return lsh_bucketed_topk(emb, qm, 10, query_ids=qids, nbits=6, probes=2,
                              num_buckets=4)
 

@@ -73,7 +73,11 @@ def run_headline(num_cpus: int) -> dict:
     tax = gen_taxonomy(42)
     out_dir = os.path.join(BENCH_CACHE, f"kg_out_c{num_cpus}")
     t0 = time.time()
-    res = build_graph(rd.read_parquet(pages_dir), tax, out_dir,
+    # override_num_blocks: the CPU-bound extract/detect chain needs ~4
+    # blocks per core; default 128 MiB blocks would give this ~65 MB corpus
+    # only 1-2 tasks (observed serialized in ds.stats()).
+    pages = rd.read_parquet(pages_dir, override_num_blocks=4 * num_cpus)
+    res = build_graph(pages, tax, out_dir,
                       link_mode="embedding",
                       concurrency=(1, max(2, num_cpus // 2)))
     dt = time.time() - t0
@@ -117,10 +121,10 @@ def main() -> None:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
-    # CPU-bound NLP stages want many small blocks, not the IO-oriented
-    # 128 MiB default (a 65 MB corpus would otherwise run as ONE task and
-    # serialize the whole pipeline — observed in ds.stats()).
-    ctx.target_max_block_size = 1 * 1024 * 1024
+    # Block size stays at the 128 MiB default: shrinking it globally made
+    # the shuffle-heavy relational queries ~2x slower (sort cost scales
+    # with block count). CPU-bound per-doc stages get their parallelism
+    # from override_num_blocks at the read instead.
 
     headline = run_headline(num_cpus)
     queries = run_queries(sf_dir)

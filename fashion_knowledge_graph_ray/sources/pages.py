@@ -75,8 +75,12 @@ def pages_from_documents(sf_dir: str, *, null_text: bool = True):
     """
     import ray.data as rd
 
+    # override_num_blocks: the single-file testdata table would otherwise
+    # be ONE block under the default 128 MiB target and serialize the whole
+    # CPU-bound extract/detect chain into one task.
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text", "lang"])
+                           columns=["doc_id", "text", "lang"],
+                           override_num_blocks=64)
 
     def to_pages(batch: pa.Table) -> pa.Table:
         rows = [

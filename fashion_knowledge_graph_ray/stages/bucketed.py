@@ -29,17 +29,34 @@ BUCKET_COL = "__bucket"
 
 
 def add_bucket_column(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
-    """Vectorized bucket id from the concatenated key columns."""
-    sep = pa.scalar("\x1f")
-    cols = [batch[k].cast(pa.string()) for k in keys]
-    joined = cols[0]
-    for c in cols[1:]:
-        joined = pc.binary_join_element_wise(joined, c, sep)
-    vals = joined.to_pylist()
-    b = np.fromiter(
-        (zlib.crc32(v.encode("utf-8")) % num_buckets for v in vals),
-        dtype=np.int64, count=len(vals),
-    )
+    """Vectorized bucket id from the concatenated key columns.
+
+    Fast path: polars' xxhash-based ``Expr.hash`` (seed 0) — vectorized and
+    stable across worker processes within a run, which is all bucketing
+    needs (outputs never depend on WHICH bucket a key lands in, only on
+    co-location). Fallback: per-row crc32."""
+    if batch.num_rows == 0:
+        return batch.append_column(BUCKET_COL, pa.array([], type=pa.int64()))
+    try:
+        import polars as pl
+
+        df = pl.from_arrow(batch.select(keys))
+        expr = (pl.concat_str([pl.col(k).cast(pl.Utf8) for k in keys],
+                              separator="\x1f")
+                if len(keys) > 1 else pl.col(keys[0]).cast(pl.Utf8))
+        h = df.select(expr.hash(seed=0).alias("h"))["h"].to_numpy()
+        b = (h % np.uint64(num_buckets)).astype(np.int64)
+    except ImportError:
+        sep = pa.scalar("\x1f")
+        cols = [batch[k].cast(pa.string()) for k in keys]
+        joined = cols[0]
+        for c in cols[1:]:
+            joined = pc.binary_join_element_wise(joined, c, sep)
+        vals = joined.to_pylist()
+        b = np.fromiter(
+            (zlib.crc32(v.encode("utf-8")) % num_buckets for v in vals),
+            dtype=np.int64, count=len(vals),
+        )
     return batch.append_column(BUCKET_COL, pa.array(b))
 
 

@@ -74,13 +74,18 @@ def minhash_signature(text: str, num_perm: int = _NUM_PERM,
 def lsh_band_rows(ds, text_col: str, id_col: str, *,
                   num_perm: int = _NUM_PERM, bands: int = _BANDS,
                   shingle_k: int = _SHINGLE_K, batch_size: int = 4096):
-    """-> Dataset (band_key:str, id, text): one row per (record, band)."""
+    """-> Dataset (band_key:str, id): one row per (record, band).
+
+    Deliberately does NOT carry the text: band rows fan out x``bands`` per
+    record, so carrying text would shuffle ``bands`` copies of the whole
+    corpus (measured ~16x the table size at sf0.1). Verification fetches
+    texts for the (few) candidate ids afterwards."""
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        keys, out_ids, out_texts = [], [], []
+        keys, out_ids = [], []
         for i, t in zip(ids, texts):
             sig = minhash_signature(t or "", num_perm, shingle_k)
             for b in range(bands):
@@ -88,51 +93,115 @@ def lsh_band_rows(ds, text_col: str, id_col: str, *,
                 h = zlib.crc32(seg.tobytes())
                 keys.append(f"{b}:{h}")
                 out_ids.append(i)
-                out_texts.append(t)
-        return pa.table({"band_key": keys, "id": out_ids, "text": out_texts})
+        return pa.table({"band_key": keys, "id": out_ids})
 
     return ds.map_batches(to_bands, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
 
 
-def candidate_pairs(band_rows_ds, *, threshold: float = _JACCARD_THRESHOLD,
-                    shingle_k: int = _SHINGLE_K,
-                    num_buckets: int = 64, max_bucket_size: int = 2000):
-    """LSH buckets -> verified similar pairs (a < b by id), distinct.
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Sorted distinct uint64 crc32 hashes of the char-k-shingles."""
+    s = f" {(text or '').lower()} "
+    hs = np.fromiter(
+        (zlib.crc32(s[i: i + k].encode("utf-8"))
+         for i in range(max(1, len(s) - k + 1))),
+        dtype=np.uint64)
+    return np.unique(hs)
 
-    Buckets larger than ``max_bucket_size`` (a degenerate hot shingle
-    pattern) are truncated after a deterministic sort with an explicit
-    ``truncated`` marker row rather than O(n^2) blowup."""
+
+def candidate_pairs(band_rows_ds, texts_ds, *,
+                    threshold: float = _JACCARD_THRESHOLD,
+                    shingle_k: int = _SHINGLE_K,
+                    text_col: str = "text", id_col: str = "id",
+                    num_buckets: int = 64, max_bucket_size: int = 2000):
+    """LSH band rows + texts -> verified similar pairs (a < b), distinct.
+
+    Three narrow phases, each sized by how rare near-duplicates are:
+
+    1. id-pairs per LSH bucket (groups >=2 only; groups over
+       ``max_bucket_size`` are truncated deterministically rather than
+       O(n^2) blowup) -> distinct (a, b);
+    2. semi-join: texts are fetched for ONLY the ids that appear in some
+       candidate pair (broadcast id-set filter over ``texts_ds``);
+    3. verification: exact shingle-Jaccard per distinct pair, shingling
+       each involved text once.
+
+    The involved-text map is broadcast via ``ray.put`` — fine while
+    near-dup candidates are a sliver of the corpus (the expected regime);
+    a corpus that is MOSTLY duplicates should run exact dedup first."""
+    import ray
 
     def pairs_in_buckets(t: pa.Table) -> pa.Table:
         import pandas as pd
 
         df = pd.DataFrame({"band_key": t["band_key"].to_pandas(),
-                           "id": t["id"].to_pandas(),
-                           "text": t["text"].to_pandas()})
+                           "id": t["id"].to_pandas()})
+        sizes = df.groupby("band_key")["id"].nunique()
+        df = df[df["band_key"].isin(sizes[sizes >= 2].index)]
         a_out, b_out = [], []
         seen = set()
         for _, g in df.groupby("band_key", sort=True):
-            g = g.drop_duplicates("id").sort_values("id")
-            members = list(zip(g["id"], g["text"]))
-            if len(members) > max_bucket_size:
-                members = members[:max_bucket_size]
+            members = sorted(set(g["id"]))[:max_bucket_size]
             for i in range(len(members)):
                 for j in range(i + 1, len(members)):
-                    (ia, ta), (ib, tb) = members[i], members[j]
-                    if (ia, ib) in seen:
-                        continue
-                    seen.add((ia, ib))
-                    if jaccard(ta or "", tb or "", shingle_k) >= threshold:
-                        a_out.append(ia)
-                        b_out.append(ib)
+                    key = (members[i], members[j])
+                    if key not in seen:
+                        seen.add(key)
+                        a_out.append(key[0]); b_out.append(key[1])
         return pa.table({"a": pa.array(a_out, type=pa.string()),
                          "b": pa.array(b_out, type=pa.string())})
 
     raw = bucketed_group_apply(band_rows_ds, ["band_key"], pairs_in_buckets,
                                num_buckets=num_buckets)
-    # distinct (a, b) across buckets (same pair can surface from many bands)
-    return _distinct_pairs(raw, num_buckets=num_buckets)
+    cand = _distinct_pairs(raw, num_buckets=num_buckets).materialize()
+
+    involved: set[str] = set()
+    for batch in cand.iter_batches(batch_format="pyarrow"):
+        involved.update(batch["a"].to_pylist())
+        involved.update(batch["b"].to_pylist())
+    inv_ref = ray.put(involved) if ray.is_initialized() else involved
+
+    def pick_texts(t: pa.Table) -> pa.Table:
+        s = ray.get(inv_ref) if not isinstance(inv_ref, set) else inv_ref
+        ids = t[id_col].cast(pa.string())
+        mask = pa.array([x in s for x in ids.to_pylist()])
+        kept = t.filter(mask)
+        return pa.table({"id": kept[id_col].cast(pa.string()),
+                         "text": kept[text_col]})
+
+    texts = {}
+    for batch in texts_ds.map_batches(
+            pick_texts, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        texts.update(zip(batch["id"].to_pylist(), batch["text"].to_pylist()))
+    texts_ref = ray.put(texts) if ray.is_initialized() else texts
+
+    def verify(t: pa.Table) -> pa.Table:
+        tm = ray.get(texts_ref) if not isinstance(texts_ref, dict) else texts_ref
+        sh: dict[str, np.ndarray] = {}
+
+        def get(i: str) -> np.ndarray:
+            if i not in sh:
+                sh[i] = _shingle_hashes(tm.get(i, ""), shingle_k)
+            return sh[i]
+
+        a_out, b_out = [], []
+        for a, b in zip(t["a"].to_pylist(), t["b"].to_pylist()):
+            sa, sb = get(a), get(b)
+            la, lb = len(sa), len(sb)
+            if la == 0 and lb == 0:
+                a_out.append(a); b_out.append(b)
+                continue
+            if min(la, lb) < threshold * max(la, lb):  # size prune
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter / (la + lb - inter) >= threshold:
+                a_out.append(a); b_out.append(b)
+        return pa.table({"a": pa.array(a_out, type=pa.string()),
+                         "b": pa.array(b_out, type=pa.string())})
+
+    return cand.map_batches(verify, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
 
 def _distinct_pairs(pairs_ds, *, num_buckets: int = 64):
@@ -147,15 +216,61 @@ def _distinct_pairs(pairs_ds, *, num_buckets: int = 64):
 
 
 def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 10,
-                         num_buckets: int = 64):
+                         num_buckets: int = 64,
+                         max_driver_pairs: int = 2_000_000):
     """Min-label propagation over an undirected edge list.
 
     ``nodes_ds``: Dataset with column ``id`` (one row per node).
     Returns Dataset ``(id, component)`` where component = min node id
-    reachable. Each round is two bucketed shuffles over (edges + labels);
-    converges in O(component diameter) rounds — near-dup surface clusters
-    are shallow, so ``max_iters=10`` covers diameter 2^10. Early-stops via
-    a cheap label-checksum aggregate between rounds."""
+    reachable.
+
+    Fast path: near-dup edge lists are SPARSE (a sliver of the corpus), so
+    when the pair count fits ``max_driver_pairs`` the components are solved
+    with a driver-side union-find over just the pairs and broadcast back as
+    a remap over nodes — one pass, no iterative shuffles. The iterative
+    distributed path below handles the dense regime: each round is two
+    bucketed shuffles; converges in O(component diameter) rounds
+    (``max_iters=10`` covers diameter 2^10) with a label-checksum
+    early-stop."""
+    import ray
+
+    pairs_ds = pairs_ds.materialize()
+    n_pairs = pairs_ds.count()
+    if n_pairs <= max_driver_pairs:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        # deterministic union order: sorted edges, min root wins
+        edges_sorted = sorted(
+            (min(a, b), max(a, b))
+            for batch in pairs_ds.iter_batches(batch_format="pyarrow")
+            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()))
+        for a, b in edges_sorted:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        comp_map = {x: find(x) for x in list(parent)}
+        ref = ray.put(comp_map) if ray.is_initialized() else comp_map
+
+        def assign(t: pa.Table) -> pa.Table:
+            m = ray.get(ref) if not isinstance(ref, dict) else ref
+            ids = t["id"].to_pylist()
+            return pa.table({
+                "id": pa.array(ids, type=pa.string()),
+                "component": pa.array([m.get(i, i) for i in ids],
+                                      type=pa.string()),
+            })
+
+        return nodes_ds.map_batches(assign, batch_format="pyarrow",
+                                    zero_copy_batch=True)
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table({"id": t["id"], "label": t["id"]})
@@ -263,7 +378,7 @@ def canonicalize_taxonomy(taxonomy: pa.Table, *, threshold: float =
                       "text": [f[1] for f in forms]})
     ds = rd.from_arrow(nodes)
     bands = lsh_band_rows(ds, "text", "id")
-    pairs = candidate_pairs(bands, threshold=threshold)
+    pairs = candidate_pairs(bands, ds, threshold=threshold)
     comp = connected_components(pairs, ds.select_columns(["id"]))
     comp_map = {r["id"]: r["component"] for r in comp.take_all()}
     # entity -> min entity over its forms' components

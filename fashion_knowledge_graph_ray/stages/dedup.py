@@ -69,7 +69,7 @@ def minhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     sds = ds.map_batches(as_str, batch_format="pyarrow", zero_copy_batch=True)
     bands_ds = lsh_band_rows(sds, "text", "id", num_perm=num_perm,
                              bands=bands, shingle_k=shingle_k)
-    pairs = candidate_pairs(bands_ds, threshold=threshold,
+    pairs = candidate_pairs(bands_ds, sds, threshold=threshold,
                             shingle_k=shingle_k, num_buckets=num_buckets)
     comp = connected_components(pairs, sds.select_columns(["id"]),
                                 num_buckets=num_buckets)
