@@ -187,32 +187,37 @@ def _order_pairs(sf_dir: str):
 
 
 def _q_cooccur_edges(sf_dir: str):
+    # count-only partials: the shuffle ships (key, int) rows, no evidence
     from fashion_knowledge_graph_ray.stages.aggregate import aggregate_edges
 
-    edges = aggregate_edges(_order_pairs(sf_dir))
-    return edges.map_batches(
-        lambda t: t.select(["src", "dst", "rel", "weight"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+    return aggregate_edges(_order_pairs(sf_dir), collect_evidence=False)
 
 
 def _q_edge_topk_per_node(sf_dir: str):
-    # O1/J4: per-source top-3 neighbors by (weight DESC, dst ASC)
-    from fashion_knowledge_graph_ray.stages.aggregate import aggregate_edges
+    # O1/J4: per-source top-3 neighbors by (weight DESC, dst ASC).
+    # Bucketing the edge aggregation by src lets the top-k run inside the
+    # SAME bucket task — one shuffle instead of two.
+    from fashion_knowledge_graph_ray.stages.aggregate import (
+        merge_edge_counts,
+        partial_edge_count,
+    )
     from fashion_knowledge_graph_ray.stages.bucketed import bucketed_group_apply
 
-    edges = aggregate_edges(_order_pairs(sf_dir))
+    partials = _order_pairs(sf_dir).map_batches(
+        partial_edge_count, batch_format="pyarrow", zero_copy_batch=True)
 
-    def per_src(t: pa.Table) -> pa.Table:
+    def merge_then_topk(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = t.select(["src", "dst", "rel", "weight"]).to_pandas()
+        df = merge_edge_counts(t).to_pandas()
         df = df.sort_values(["src", "weight", "dst"],
                             ascending=[True, False, True])
         df = df.groupby("src", sort=True).head(3)
         df["rank"] = df.groupby("src", sort=True).cumcount() + 1
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return bucketed_group_apply(edges, ["src"], per_src, num_buckets=16)
+    return bucketed_group_apply(partials, ["src"], merge_then_topk,
+                                num_buckets=16)
 
 
 def _q_attr_triples_part(sf_dir: str):
@@ -390,32 +395,87 @@ def _q_near_dup_cosine(sf_dir: str):
 
 def _q_tumbling_window_events(sf_dir: str):
     # streaming-shaped: tumbling 1h window per user (count + max)
-    from fashion_knowledge_graph_ray.stages.bucketed import bucketed_group_apply
+    from fashion_knowledge_graph_ray.stages.windows import tumbling_window
 
     ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return tumbling_window(ev, key_col="user_id", ts_col="ts",
+                           value_col="value", width="h", num_buckets=16)
 
-    def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
 
-        df = pd.DataFrame({"user_id": t["user_id"].to_pandas(),
-                           "ts": t["ts"].to_pandas(),
-                           "value": t["value"].to_pandas()})
-        df["window_start"] = df["ts"].dt.floor("h")
-        g = df.groupby(["user_id", "window_start"], sort=True).agg(
-            n_events=("value", "size"), max_value=("value", "max"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+def _q_session_window_events(sf_dir: str):
+    # gap-based session windows (30 min) per user
+    from fashion_knowledge_graph_ray.stages.windows import session_windows
 
-    def merge(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    return session_windows(ev, key_col="user_id", ts_col="ts",
+                           id_col="event_id", gap_minutes=30, num_buckets=16)
 
-        df = t.to_pandas()
-        g = df.groupby(["user_id", "window_start"], sort=True).agg(
-            n_events=("n_events", "sum"), max_value=("max_value", "max"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
 
-    partials = ev.map_batches(partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-    return bucketed_group_apply(partials, ["user_id"], merge, num_buckets=16)
+def _q_broadcast_join_lineitem(sf_dir: str):
+    # J2 broadcast inner join: enrich lineitem with brand of large parts
+    # (restricted lookup -> drop-on-miss semantics exercised)
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.stages.relational import broadcast_join
+
+    p = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                      columns=["p_partkey", "p_size", "p_brand"])
+    lut = {k: (b,) for k, s, b in zip(p["p_partkey"].to_pylist(),
+                                      p["p_size"].to_pylist(),
+                                      p["p_brand"].to_pylist()) if s >= 30}
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey"])
+    return broadcast_join(li, "l_partkey", lut, ["p_brand"], how="inner")
+
+
+def _q_union_upsert_docs(sf_dir: str):
+    # K1+G7 combined-catalog upsert: base rows win over incoming rows
+    from fashion_knowledge_graph_ray.stages.relational import union_upsert
+
+    def half(mod: int):
+        ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+        def f(t: pa.Table, m=mod) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(ids % m == 0))
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    return union_upsert(half(2), half(3), "doc_id", num_buckets=8)
+
+
+def _q_top1_per_order(sf_dir: str):
+    # M7/O4 single_product_mode analog: per order keep the max-quantity item
+    from fashion_knowledge_graph_ray.stages.relational import dedup_keep_first
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_partkey", "l_quantity"])
+    top = dedup_keep_first(li, "l_orderkey",
+                           ["l_quantity", "l_partkey", "l_linenumber"],
+                           ascending=[False, True, True], num_buckets=16)
+    return top.map_batches(
+        lambda t: t.select(["l_orderkey", "l_partkey", "l_quantity"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_related_entities_topk(sf_dir: str):
+    # J4+O1 query layer: 1-hop neighbors of one node, weight>=2, top-5
+    from fashion_knowledge_graph_ray.pipelines.query import related_entities
+    from fashion_knowledge_graph_ray.stages.aggregate import aggregate_edges
+
+    edges = aggregate_edges(_order_pairs(sf_dir), collect_evidence=False)
+    return related_entities(edges, "p000001", "worn_with",
+                            weight_threshold=2, top_k=5)
+
+
+def _q_jaccard_ngram_pairs_docs(sf_dir: str):
+    # exact word-3-gram Jaccard similarity join (prefix filtering)
+    from fashion_knowledge_graph_ray.stages.dedup import jaccard_ngram_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    out = jaccard_ngram_pairs(docs, n=3, threshold=0.4, num_buckets=16)
+    return _as_table(out, pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                     ("jac", pa.float64())]))
 
 
 def _q_kg_mentions(sf_dir: str):
@@ -533,6 +593,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "near_dup_cosine": _q_near_dup_cosine,
         "tumbling_window_events": _q_tumbling_window_events,
+        "session_window_events": _q_session_window_events,
+        "broadcast_join_lineitem": _q_broadcast_join_lineitem,
+        "union_upsert_docs": _q_union_upsert_docs,
+        "top1_per_order": _q_top1_per_order,
+        "related_entities_topk": _q_related_entities_topk,
+        "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "media_frame_sample": _q_media_frame_sample,
@@ -723,6 +789,66 @@ WHERE a.vec_id < b.vec_id
 SELECT user_id, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events, max(value) AS max_value
 FROM events GROUP BY 1, 2""",
+        "session_window_events": """
+WITH e AS (
+  SELECT user_id, event_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess
+  FROM e
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sess""",
+        "broadcast_join_lineitem": """
+SELECT l_orderkey, l_linenumber, l_partkey, p_brand
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_size >= 30""",
+        "union_upsert_docs": """
+WITH u AS (
+  SELECT doc_id, lang, 0 AS prio FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, 1 AS prio FROM documents WHERE doc_id % 3 = 0
+)
+SELECT doc_id, lang, CASE WHEN prio = 0 THEN 'base' ELSE 'new' END AS src
+FROM u QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY prio) = 1""",
+        "top1_per_order": """
+SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+QUALIFY row_number() OVER (
+  PARTITION BY l_orderkey
+  ORDER BY l_quantity DESC, l_partkey, l_linenumber) = 1""",
+        "related_entities_topk": cooccur_cte + """,
+ed AS (SELECT src, dst, rel, count(*) AS weight FROM bo GROUP BY 1, 2, 3)
+SELECT dst, rel, weight FROM ed
+WHERE src = 'p000001' AND rel = 'worn_with' AND weight >= 2
+ORDER BY weight DESC, dst LIMIT 5""",
+        "jaccard_ngram_pairs_docs": r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN [] ELSE
+           list_transform(regexp_split_to_array(trim(text), '\s+'),
+                          x -> lower(x)) END AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - 1),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+  FROM t WHERE len(w) >= 3
+),
+p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.grams, b.grams)) AS i,
+         len(a.grams) AS la, len(b.grams) AS lb
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(i AS DOUBLE) / (la + lb - i) AS jac
+FROM p WHERE i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.4""",
         "kg_mentions": kg_mentions_cte + """
 SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges": kg_edges_sql,

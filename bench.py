@@ -28,7 +28,8 @@ QUERY_NAMES = [
     "groupby_count", "cooccur_edges", "edge_topk_per_node",
     "node_merge_lww", "grouped_sample_docs", "exact_dedup_docs",
     "quality_docs", "minhash_dedup_docs", "ann_topk",
-    "tumbling_window_events", "kg_edges",
+    "tumbling_window_events", "session_window_events",
+    "broadcast_join_lineitem", "jaccard_ngram_pairs_docs", "kg_edges",
 ]
 
 

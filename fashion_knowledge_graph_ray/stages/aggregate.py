@@ -75,14 +75,43 @@ def _merge_edges_bucket(t: pa.Table) -> pa.Table:
     )
 
 
-def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64):
+def partial_edge_count(batch: pa.Table) -> pa.Table:
+    """Count-only combiner (no evidence lists): one int row per key per
+    batch — the minimal shuffle payload when the consumer drops ``pages``."""
+    g = batch.group_by(EDGE_KEYS).aggregate([("url", "count")])
+    return pa.table({"src": g["src"], "dst": g["dst"], "rel": g["rel"],
+                     "weight": g["url_count"].cast(pa.int64())})
+
+
+def merge_edge_counts(t: pa.Table) -> pa.Table:
+    """Arrow-kernel merge of count partials within one bucket."""
+    g = t.group_by(EDGE_KEYS).aggregate([("weight", "sum")])
+    return pa.table({"src": g["src"], "dst": g["dst"], "rel": g["rel"],
+                     "weight": g["weight_sum"]})
+
+
+def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64,
+                    collect_evidence: bool = True,
+                    bucket_keys: list[str] | None = None):
     """pairs -> edges: partial combine per batch, then ONE bucketed shuffle
-    over the (much smaller) partials with a vectorized per-bucket merge."""
+    over the (much smaller) partials with a vectorized per-bucket merge.
+
+    ``collect_evidence=False`` skips the ``pages`` evidence lists entirely —
+    the shuffle then moves only (key, int) partials, a large win when the
+    consumer only needs weights (measured ~2x on the sf0.1 co-occurrence
+    query). ``bucket_keys`` may widen co-location (e.g. ``["src"]`` so a
+    downstream per-src top-k can run in the SAME bucket task without a
+    second shuffle — any prefix of (src,dst,rel) preserves key grouping)."""
+    keys = bucket_keys or EDGE_KEYS
+    if collect_evidence:
+        partial_fn, merge_fn = partial_edge_agg, _merge_edges_bucket
+    else:
+        partial_fn, merge_fn = partial_edge_count, merge_edge_counts
     partials = pairs_ds.map_batches(
-        partial_edge_agg, batch_format="pyarrow", batch_size=batch_size,
+        partial_fn, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
-    return bucketed_group_apply(partials, EDGE_KEYS, _merge_edges_bucket,
+    return bucketed_group_apply(partials, keys, merge_fn,
                                 num_buckets=num_buckets)
 
 

@@ -140,6 +140,99 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                                 num_buckets=num_buckets)
 
 
+# ── exact n-gram Jaccard similarity join (prefix filtering) ─────────────
+
+def _word_ngrams(text: str, n: int) -> list[str]:
+    ws = (text or "").strip().lower().split()
+    if len(ws) < n:
+        return []
+    return sorted({" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)})
+
+
+def jaccard_ngram_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 3, threshold: float = 0.4,
+                        num_buckets: int = 64):
+    """ALL pairs with word-``n``-gram Jaccard >= ``threshold`` — exact, not
+    approximate: prefix filtering (AllPairs/PPJoin family) instead of
+    MinHash banding. Under any fixed total order of grams, two sets with
+    Jaccard >= t must share a gram within the first ``|s| - ceil(t*|s|) + 1``
+    grams of each set, so blocking on prefix grams has perfect recall and
+    the per-block verification computes the true Jaccard.
+
+    Scale shape: one shuffle keyed by prefix gram. Each row carries its
+    full (distinct, sorted) gram set so verification is block-local — the
+    standard similarity-join trade (heavier shuffle payload, no second
+    join). Lexicographic gram order is the global order: correct for any
+    fixed order; a frequency-ascending order would only shrink candidate
+    volume. Returns (a, b, jac) with a < b, deduped across blocks.
+    """
+    import math
+
+    def prefix_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        g_out, id_out, set_out = [], [], []
+        for i, x in zip(ids, texts):
+            grams = _word_ngrams(x, n)
+            if not grams:
+                continue
+            plen = len(grams) - math.ceil(threshold * len(grams)) + 1
+            for g in grams[:plen]:
+                g_out.append(g)
+                id_out.append(i)
+                set_out.append(grams)
+        return pa.table({
+            "gram": pa.array(g_out, type=pa.string()),
+            "id": pa.array(id_out, type=pa.int64()),
+            "grams": pa.array(set_out, type=pa.list_(pa.string())),
+        })
+
+    blocks = ds.map_batches(prefix_rows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+    def verify(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"gram": t["gram"].to_pandas(),
+                           "id": t["id"].to_pandas(),
+                           "grams": t["grams"].to_pandas()})
+        a_out, b_out, j_out = [], [], []
+        seen: set[tuple[int, int]] = set()
+        for _, grp in df.groupby("gram", sort=True):
+            grp = grp.drop_duplicates("id").sort_values("id")
+            members = list(zip(grp["id"], grp["grams"]))
+            for i in range(len(members)):
+                ia, ga = members[i]
+                sa = set(ga)
+                for k in range(i + 1, len(members)):
+                    ib, gb = members[k]
+                    key = (int(ia), int(ib))
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    inter = len(sa.intersection(gb))
+                    if inter == 0:
+                        continue
+                    jac = inter / (len(sa) + len(gb) - inter)
+                    if jac >= threshold:
+                        a_out.append(key[0]); b_out.append(key[1])
+                        j_out.append(jac)
+        return pa.table({"a": pa.array(a_out, type=pa.int64()),
+                         "b": pa.array(b_out, type=pa.int64()),
+                         "jac": pa.array(j_out, type=pa.float64())})
+
+    raw = bucketed_group_apply(blocks, ["gram"], verify,
+                               num_buckets=num_buckets)
+
+    def dd(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b"]).aggregate([("jac", "min")])
+        return pa.table({"a": g["a"], "b": g["b"], "jac": g["jac_min"]})
+
+    partial = raw.map_batches(dd, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(partial, ["a", "b"], dd,
+                                num_buckets=num_buckets)
+
+
 # ── embedding-cosine near-dup ────────────────────────────────────────────
 
 def embedding_neardup_pairs(ds, *, emb_col: str = "embedding",

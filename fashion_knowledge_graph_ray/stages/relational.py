@@ -63,6 +63,72 @@ def semi_join_keys(ds, col: str, keys):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def broadcast_join(ds, col: str, lookup: dict, new_cols: list[str], *,
+                   how: str = "inner"):
+    """Enrich ``ds`` with columns from a small lookup table (J2/J3,
+    `/root/reference/src/inference/recommender.py:160-178` /
+    `process_social_media_images.py:122-131`): the small side is shipped
+    ONCE via ``ray.put`` and applied per batch — no shuffle, the only sane
+    join shape when one side is O(catalog) and the other is O(web).
+
+    ``lookup`` maps key -> tuple of values (one per ``new_cols``).
+    ``how="inner"`` drops rows with no match (the reference's drop-on-miss
+    rule, recommender.py:167); ``how="left"`` keeps them with nulls
+    (the reference's null-tolerant J3)."""
+    import ray
+
+    ref = ray.put(lookup) if ray.is_initialized() else lookup
+
+    def f(t: pa.Table) -> pa.Table:
+        m = ray.get(ref) if not isinstance(ref, dict) else ref
+        keys = t[col].to_pylist()
+        hits = [m.get(k) for k in keys]
+        if how == "inner":
+            mask = pa.array([h is not None for h in hits], type=pa.bool_())
+            t = t.filter(mask)
+            hits = [h for h in hits if h is not None]
+        for j, name in enumerate(new_cols):
+            t = t.append_column(
+                name, pa.array([h[j] if h is not None else None
+                                for h in hits]))
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def union_upsert(base_ds, new_ds, key_col: str, *, num_buckets: int = 64):
+    """The reference's combined-catalog upsert (K1+G7,
+    `/root/reference/src/engine/data_preprocessing.py:75-87`): append the
+    new table to the base table, then keep ONE row per key with base rows
+    winning over new rows (``pd.concat([combined, new]).drop_duplicates``
+    keeps the first occurrence = the base row).
+
+    Re-expressed shuffle-style: tag a priority column (0 = base, 1 = new),
+    union, keyed dedup keeping min priority. Adds a ``src`` column
+    ('base'/'new') recording which side survived."""
+
+    def tag(prio: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__prio", pa.array([prio] * t.num_rows, type=pa.int64()))
+        return f
+
+    both = base_ds.map_batches(tag(0), batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        new_ds.map_batches(tag(1), batch_format="pyarrow",
+                           zero_copy_batch=True))
+    out = dedup_keep_first(both, key_col, ["__prio"],
+                           num_buckets=num_buckets)
+
+    def finish(t: pa.Table) -> pa.Table:
+        src = pc.if_else(pc.equal(t["__prio"], 0),
+                         pa.scalar("base"), pa.scalar("new"))
+        return t.drop_columns(["__prio"]).append_column("src", src)
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def md5_of_id(values) -> list[str]:
     """The deterministic 'random' order key: md5 of the id rendered as a
     string — identical in DuckDB as ``md5(CAST(id AS VARCHAR))``."""
