@@ -108,7 +108,8 @@ def _build_partition(files: list[str], part: int, taxonomy_ref, out_dir: str,
         link_mode=config["link_mode"],
         single_product_mode=config["single_product_mode"],
         dedup=config["dedup"],
-        concurrency=tuple(config["concurrency"]),
+        concurrency=(tuple(config["concurrency"])
+                     if config["concurrency"] != "auto" else None),
     )
     linked.write_parquet(linked_dir + ".tmp")
     _ensure_nonempty(linked_dir + ".tmp", _LINKED_SCHEMA)
@@ -141,7 +142,7 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
                           link_mode: str = "embedding",
                           single_product_mode: bool = False,
                           dedup: bool = True,
-                          concurrency=(1, 8)) -> GraphBuildResult:
+                          concurrency=None) -> GraphBuildResult:
     """Partitioned, manifest-checkpointed KG build over a parquet file or
     directory. Re-invoking with identical arguments skips every partition
     whose lineage manifest validates and recomputes only the rest, then
@@ -153,7 +154,9 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
         "link_mode": link_mode,
         "single_product_mode": single_product_mode,
         "dedup": dedup,
-        "concurrency": list(concurrency),
+        # "auto" (not resolved sizes) so manifests stay valid when a resume
+        # runs on a different cluster size
+        "concurrency": "auto" if concurrency is None else list(concurrency),
     }
     parts = assign_partitions(list_parquet_files(pages_path), num_partitions)
     tax_ref = ray.put(taxonomy) if ray.is_initialized() else taxonomy

@@ -61,18 +61,13 @@ class GazetteerLinker:
         self.gaz = build_gazetteer(tax)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch["mentions"].to_pylist()
-        out = []
-        for recs in rows:
-            new = []
-            for r in recs or []:
-                r = dict(r)
-                hit = self.gaz.get(r["form"])
-                r["entity_id"] = hit[0] if hit else None
-                r["link_score"] = 1.0 if hit else None
-                new.append(r)
-            out.append(new)
-        return _rebuild(batch, out)
+        from .attributes import flat_mentions
+
+        col, vals = flat_mentions(batch)
+        hits = [self.gaz.get(f) for f in vals.field("form").to_pylist()]
+        ent = pa.array([h[0] if h else None for h in hits], type=pa.string())
+        sc = pa.array([1.0 if h else None for h in hits], type=pa.float64())
+        return _rebuild_flat(batch, col, vals, ent, sc)
 
 
 class EmbeddingLinker:
@@ -87,68 +82,90 @@ class EmbeddingLinker:
 
             tax = ray.get(taxonomy_ref)
         self.entity_id = np.asarray(tax["entity_id"].to_pylist())
-        self.category = np.asarray(tax["category"].to_pylist())
-        self.gender = np.asarray(tax["gender"].to_pylist())
-        self.color = np.asarray(tax["color"].to_pylist())
+        # metadata filters as int codes: the per-batch mask is then three
+        # broadcast int comparisons (C speed), not a Python loop per mention
+        self._cat_code, self.cat = self._encode(tax["category"].to_pylist())
+        self._gen_code, self.gen = self._encode(tax["gender"].to_pylist())
+        self._col_code, self.col = self._encode(tax["color"].to_pylist())
+        self._unisex = self._gen_code.get("unisex", -3)
         self.index = hash_embed(tax["surface"].to_pylist(), dim=dim)
         self.dim = dim
         self.top_k = top_k
         self.threshold = threshold
 
+    @staticmethod
+    def _encode(values):
+        codes = {v: i for i, v in enumerate(sorted(set(values)))}
+        return codes, np.asarray([codes[v] for v in values], dtype=np.int32)
+
+    def _codes(self, values, table, *, missing: int):
+        """strings -> int codes; None/empty -> ``missing`` sentinel, unseen
+        strings -> -2 (matches nothing)."""
+        return np.asarray(
+            [missing if not v else table.get(v, -2) for v in values],
+            dtype=np.int32)
+
     def _link_many(self, surfaces, labels, genders, colors):
-        """Vectorized top-1-of-top-k with reference filter semantics."""
+        """Vectorized top-1-of-top-k with reference filter semantics:
+        ``category == label`` (skipped if no label), ``gender IN (unisex,
+        g)``, ``color == c`` (skipped if c empty/unknown) — then cosine
+        top-k, take top-1, accept iff score >= threshold."""
         q = hash_embed(surfaces, dim=self.dim)
-        n = self.index.shape[0]
-        mask = np.ones((len(surfaces), n), dtype=bool)
-        for i, (lab, g, c) in enumerate(zip(labels, genders, colors)):
-            if lab:
-                mask[i] &= self.category == lab
-            allowed = {"unisex"}
-            if g:
-                allowed.add(g)
-            mask[i] &= np.isin(self.gender, sorted(allowed))
-            if c and c != UNKNOWN:
-                mask[i] &= self.color == c
+        lab = self._codes(labels, self._cat_code, missing=-1)
+        g = self._codes(genders, self._gen_code, missing=-2)
+        c = np.asarray(
+            [-1 if (not v or v == UNKNOWN) else self._col_code.get(v, -2)
+             for v in colors], dtype=np.int32)
+        mask = (lab[:, None] == -1) | (self.cat[None, :] == lab[:, None])
+        mask &= (self.gen[None, :] == self._unisex) | \
+                (self.gen[None, :] == g[:, None])
+        mask &= (c[:, None] == -1) | (self.col[None, :] == c[:, None])
         scores, idx = cosine_topk(q, self.index, self.top_k, mask=mask)
         top_scores, top_idx = scores[:, 0], idx[:, 0]
         ok = np.isfinite(top_scores) & (top_scores >= self.threshold)
         return ok, top_scores, self.entity_id[top_idx]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch["mentions"].to_pylist()
-        # flatten all mentions of the batch into one embed+matmul call
-        flat, where = [], []
-        for pi, recs in enumerate(rows):
-            for mi, r in enumerate(recs or []):
-                attrs = r.get("attrs") or {}
-                if attrs.get("type", UNKNOWN) == UNKNOWN:
-                    continue  # reference line 74-76: no type -> skip
-                flat.append(r)
-                where.append((pi, mi))
-        out = [[dict(r, entity_id=None, link_score=None) for r in (recs or [])]
-               for recs in rows]
-        if flat:
-            attrs_of = [r.get("attrs") or {} for r in flat]
-            ok, scores, eids = self._link_many(
-                [r["surface"] for r in flat],
-                [a.get("type") for a in attrs_of],
-                [a.get("gender") for a in attrs_of],
-                [a.get("color") for a in attrs_of],
-            )
-            for (pi, mi), good, s, e in zip(where, ok, scores, eids):
-                if good:
-                    out[pi][mi]["entity_id"] = str(e)
-                    out[pi][mi]["link_score"] = float(s)
-        return _rebuild(batch, out)
+        from .attributes import flat_mentions
+
+        col, vals = flat_mentions(batch)
+        n = len(vals)
+        entity = [None] * n
+        score = [None] * n
+        if n:
+            attrs = vals.field("attrs")
+            typ = attrs.field("type").to_pylist()
+            surf = vals.field("surface").to_pylist()
+            # reference line 74-76: mention without a type is skipped
+            sel = [i for i, t in enumerate(typ)
+                   if t is not None and t != UNKNOWN]
+            if sel:
+                gen = attrs.field("gender").to_pylist()
+                colr = attrs.field("color").to_pylist()
+                ok, scores, eids = self._link_many(
+                    [surf[i] for i in sel], [typ[i] for i in sel],
+                    [gen[i] for i in sel], [colr[i] for i in sel])
+                for j, good, s, e in zip(sel, ok, scores, eids):
+                    if good:
+                        entity[j] = str(e)
+                        score[j] = float(s)
+        ent = pa.array(entity, type=pa.string())
+        sc = pa.array(score, type=pa.float64())
+        return _rebuild_flat(batch, col, vals, ent, sc)
 
 
-def _rebuild(batch: pa.Table, rows: list[list[dict]]) -> pa.Table:
-    mention_type = batch.schema.field("mentions").type.value_type
-    has_link = any(f.name == "entity_id" for f in mention_type)
-    typ = mention_type if has_link else _linked_struct(mention_type)
-    arr = pa.array(rows, type=pa.list_(typ))
-    return batch.set_column(batch.schema.get_field_index("mentions"),
-                            "mentions", arr)
+def _rebuild_flat(batch: pa.Table, list_arr, vals, ent: pa.Array,
+                  sc: pa.Array) -> pa.Table:
+    """Append (or replace) entity_id/link_score on the FLAT mention struct
+    and re-wrap with the original list offsets — no Python dict round-trip."""
+    from .attributes import rewrap_mentions
+
+    keep = [f for f in vals.type if f.name not in ("entity_id", "link_score")]
+    fields = keep + [pa.field("entity_id", pa.string()),
+                     pa.field("link_score", pa.float64())]
+    arrays = [vals.field(f.name) for f in keep] + [ent, sc]
+    new_vals = pa.StructArray.from_arrays(arrays, fields=fields)
+    return rewrap_mentions(batch, list_arr, new_vals)
 
 
 def link_mentions(page_mentions_ds, taxonomy_ref, *, mode: str = "embedding",

@@ -41,17 +41,39 @@ def rel_type(cat_a: str | None, cat_b: str | None) -> str:
     return REL_WORN_WITH
 
 
+_CAT_CACHE: dict[int, dict] = {}
+
+
+def _category_map(taxonomy_ref) -> dict:
+    """id -> category lookup, memoized per worker process (``ray.get`` of a
+    broadcast ref is plasma-cached, but the dict build is also skipped)."""
+    key = (taxonomy_ref.hex() if hasattr(taxonomy_ref, "hex")
+           else id(taxonomy_ref))
+    hit = _CAT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    tax = taxonomy_ref
+    if not isinstance(tax, pa.Table):
+        import ray
+
+        tax = ray.get(taxonomy_ref)
+    m = dict(zip(tax["entity_id"].to_pylist(), tax["category"].to_pylist()))
+    _CAT_CACHE.clear()
+    _CAT_CACHE[key] = m
+    return m
+
+
 class PairGenerator:
-    """Callable stage: linked page_mentions -> pair rows (both directions)."""
+    """Callable stage: linked page_mentions -> pair rows (both directions).
+
+    Deliberately run as a TASK stage, not an actor pool (see
+    ``generate_pairs``): its only state is the id->category dict, which is
+    memoized per worker process — a third actor pool here starved small
+    clusters of task CPUs (observed deadlock at num_cpus=4 with fixed-size
+    detector+linker pools)."""
 
     def __init__(self, taxonomy_ref):
-        tax = taxonomy_ref
-        if not isinstance(tax, pa.Table):
-            import ray
-
-            tax = ray.get(taxonomy_ref)
-        self.cat = dict(zip(tax["entity_id"].to_pylist(),
-                            tax["category"].to_pylist()))
+        self.cat = _category_map(taxonomy_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         src, dst, rel, url_c, ts_c = [], [], [], [], []
@@ -85,12 +107,14 @@ class PairGenerator:
 
 
 def generate_pairs(linked_ds, taxonomy_ref, *, batch_size: int = 1024):
+    def pairs_fn(batch: pa.Table) -> pa.Table:
+        return PairGenerator(taxonomy_ref)(batch)
+
     return linked_ds.map_batches(
-        PairGenerator,
-        fn_constructor_args=(taxonomy_ref,),
+        pairs_fn,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, 8),
+        zero_copy_batch=True,
     )
 
 
