@@ -478,6 +478,14 @@ def _q_jaccard_ngram_pairs_docs(sf_dir: str):
                                      ("jac", pa.float64())]))
 
 
+def _q_spec_attrs_docs(sf_dir: str):
+    # M11 spec-sheet vocabulary profile: first-phrase-by-position rule
+    from fashion_knowledge_graph_ray.stages.attributes import spec_attrs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
+    return spec_attrs(docs, fields=("sleeve_length", "closure", "pattern"))
+
+
 def _q_kg_mentions(sf_dir: str):
     # FULL pipeline: html -> extract_text -> gazetteer detect -> link ->
     # distinct (doc_id, entity_id). SQL oracle recomputes by arithmetic.
@@ -599,6 +607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top1_per_order": _q_top1_per_order,
         "related_entities_topk": _q_related_entities_topk,
         "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
+        "spec_attrs_docs": _q_spec_attrs_docs,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "media_frame_sample": _q_media_frame_sample,
@@ -636,6 +645,27 @@ def _marker_sql(lang: str) -> str:
     from fashion_knowledge_graph_ray.functions.textstats import LANG_MARKERS
 
     return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+def _spec_field_sql(field: str) -> tuple[str, str]:
+    """(cte_sql, field) for one spec vocabulary field: first phrase by
+    strpos position, ties on the lexicographically smaller phrase."""
+    from fashion_knowledge_graph_ray.vocab import SPEC_ATTRIBUTE_FIELDS
+
+    phrases = dict(SPEC_ATTRIBUTE_FIELDS)[field]
+    vals = ", ".join(f"('{p}')" for p in sorted(phrases))
+    cte = f"""
+c_{field} AS (
+  SELECT doc_id, v, strpos(lt, v) AS pos
+  FROM t, (VALUES {vals}) AS vv_{field}(v)
+  WHERE strpos(lt, v) > 0
+),
+s_{field} AS (
+  SELECT doc_id, v,
+         row_number() OVER (PARTITION BY doc_id ORDER BY pos, v) AS rn
+  FROM c_{field}
+)"""
+    return cte, field
 
 
 def oracle_sql() -> dict[str, str]:
@@ -849,6 +879,19 @@ p AS (
 )
 SELECT a, b, CAST(i AS DOUBLE) / (la + lb - i) AS jac
 FROM p WHERE i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.4""",
+        "spec_attrs_docs": (
+            "WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),"
+            + ",".join(_spec_field_sql(f)[0]
+                       for f in ("sleeve_length", "closure", "pattern"))
+            + """
+SELECT t.doc_id,
+       coalesce(a1.v, 'unknown') AS sleeve_length,
+       coalesce(a2.v, 'unknown') AS closure,
+       coalesce(a3.v, 'unknown') AS pattern
+FROM t
+LEFT JOIN (SELECT doc_id, v FROM s_sleeve_length WHERE rn = 1) a1 USING (doc_id)
+LEFT JOIN (SELECT doc_id, v FROM s_closure WHERE rn = 1) a2 USING (doc_id)
+LEFT JOIN (SELECT doc_id, v FROM s_pattern WHERE rn = 1) a3 USING (doc_id)"""),
         "kg_mentions": kg_mentions_cte + """
 SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges": kg_edges_sql,

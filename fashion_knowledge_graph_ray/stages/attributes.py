@@ -99,6 +99,49 @@ def rewrap_mentions(batch: pa.Table, list_arr: pa.ListArray,
                             "mentions", arr)
 
 
+def extract_spec_attrs(text: str) -> dict:
+    """Spec-sheet profile (M11) — the reference's second closed vocabulary
+    (`/root/reference/src/utils/prompts.py:149-178`, extractor
+    `product_attributes.py:27-88`). Values are multi-word phrases, so the
+    frozen deterministic rule is FIRST PHRASE BY POSITION: per field, the
+    vocabulary phrase with the smallest occurrence position in the
+    lowercased text wins (ties break on the lexicographically smaller
+    phrase); no occurrence -> "unknown" (the reference's fallback-default
+    semantics, product_attributes.py:75-88)."""
+    from ..vocab import SPEC_ATTRIBUTE_FIELDS, UNKNOWN
+
+    lt = (text or "").lower()
+    out = {}
+    for field, phrases in SPEC_ATTRIBUTE_FIELDS:
+        best = None
+        for p in sorted(phrases):
+            pos = lt.find(p)
+            if pos >= 0 and (best is None or pos < best[0]):
+                best = (pos, p)
+        out[field] = best[1] if best else UNKNOWN
+    return out
+
+
+def spec_attrs(ds, *, text_col: str = "text", id_col: str = "doc_id",
+               fields: tuple[str, ...] | None = None, batch_size: int = 512):
+    """documents -> (id, <spec fields...>) via the M11 spec-sheet profile.
+    ``fields`` restricts the output columns (None = all ten)."""
+    from ..vocab import SPEC_ATTRIBUTE_FIELDS
+
+    names = fields or tuple(f for f, _ in SPEC_ATTRIBUTE_FIELDS)
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        recs = [extract_spec_attrs(x) for x in texts]
+        cols = {id_col: t[id_col]}
+        for n in names:
+            cols[n] = pa.array([r[n] for r in recs], type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
 def attrs_batch(batch: pa.Table) -> pa.Table:
     """page_mentions row -> same row with ``attrs`` + ``style_description``
     added to every mention struct (flat-vectorized; extraction itself is

@@ -107,3 +107,26 @@ LINK_SIMILARITY_THRESHOLD = 0.75
 # image_processor.py:117-119: drop mentions whose surface form is shorter
 # than this many characters.
 MIN_MENTION_CHARS = 4
+
+
+# Spec-sheet attribute vocabulary (M11) — the reference's SECOND closed
+# vocabulary, used by its standalone spec-sheet extractor
+# (`/root/reference/src/utils/prompts.py:149-178`, consumed at
+# `/root/reference/src/inference/product_attributes.py:27-88`). Values are
+# multi-word PHRASES, so the deterministic analog matches phrases by
+# position in the text (see stages/attributes.extract_spec_attrs).
+SPEC_ATTRIBUTE_FIELDS: tuple[tuple[str, tuple[str, ...]], ...] = (
+    ("sleeve_length", ("full sleeve", "short sleeve", "sleeveless")),
+    ("activity", ("leisure", "sports", "yoga", "formal")),
+    ("back_exposure", ("partial coverage", "full coverage")),
+    ("spec_fit", ("tight", "unstructured", "oversize", "structured",
+                  "classic", "loose", "slim")),
+    ("sleeve_fit", ("fitted sleeve", "oversized sleeve", "relaxed sleeve",
+                    "tight sleeve")),
+    ("closure", ("front button", "pullover")),
+    ("pocket_details", ("patch pocket", "kangaroo pocket", "seam pocket",
+                        "slant pocket")),
+    ("hem_details", ("curved hem", "asymmetric hem", "elastic hem")),
+    ("length", ("at knee", "at waist", "at hips")),
+    ("pattern", ("striped", "plain", "logo", "floral", "abstract")),
+)

@@ -278,3 +278,55 @@ def test_pairs_dedup_same_entity_twice(tax):
     pg = PairGenerator(tax)
     out = pg(pa.table(_linked_page("u", ["prod-000000", "prod-000000"], tax)))
     assert out.num_rows == 0
+
+
+# ── M11 spec-sheet profile ───────────────────────────────────────────────
+
+def test_spec_attrs_first_phrase_by_position():
+    from fashion_knowledge_graph_ray.stages.attributes import extract_spec_attrs
+
+    a = extract_spec_attrs(
+        "a short sleeve pullover with patch pocket, striped, at knee")
+    assert a["sleeve_length"] == "short sleeve"
+    assert a["closure"] == "pullover"
+    assert a["pocket_details"] == "patch pocket"
+    assert a["pattern"] == "striped"
+    assert a["length"] == "at knee"
+    assert a["activity"] == "unknown"
+
+
+def test_spec_attrs_position_beats_alphabet():
+    from fashion_knowledge_graph_ray.stages.attributes import extract_spec_attrs
+
+    # 'striped' occurs before 'abstract' -> position wins
+    assert extract_spec_attrs("striped then abstract")["pattern"] == "striped"
+    # same position is impossible for distinct phrases at distinct offsets;
+    # overlapping-at-same-offset: 'tight sleeve' vs 'tight' (different
+    # fields) both match from position 0 in their own fields
+    a = extract_spec_attrs("tight sleeve cuffs")
+    assert a["sleeve_fit"] == "tight sleeve" and a["spec_fit"] == "tight"
+
+
+def test_spec_attrs_all_unknown_on_empty():
+    from fashion_knowledge_graph_ray.stages.attributes import extract_spec_attrs
+    from fashion_knowledge_graph_ray.vocab import SPEC_ATTRIBUTE_FIELDS
+
+    a = extract_spec_attrs("")
+    assert all(a[f] == "unknown" for f, _ in SPEC_ATTRIBUTE_FIELDS)
+
+
+def test_spec_attrs_stage_over_dataset(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from fashion_knowledge_graph_ray.stages.attributes import spec_attrs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["full sleeve yoga top with kangaroo pocket", "nothing here"],
+    }))
+    out = {r["doc_id"]: r for r in spec_attrs(ds).take_all()}
+    assert out[1]["sleeve_length"] == "full sleeve"
+    assert out[1]["activity"] == "yoga"
+    assert out[1]["pocket_details"] == "kangaroo pocket"
+    assert out[2]["sleeve_length"] == "unknown"
