@@ -75,8 +75,11 @@ def _build_kg(sf_dir: str, link_mode: str):
 
     tax = gen_taxonomy(42)
     pages = pages_from_documents(sf_dir)  # text=None -> extract from html
+    # small fixed pools: the sf inputs here are 500-5000 docs, where
+    # auto-sized pools (up to 24 actors at 32 cpus) spend more wall time
+    # spawning actors than linking
     return build_graph(pages, tax, _kg_outdir(sf_dir, link_mode),
-                       link_mode=link_mode)
+                       link_mode=link_mode, concurrency=(2, 4))
 
 
 # ── entry ────────────────────────────────────────────────────────────────
