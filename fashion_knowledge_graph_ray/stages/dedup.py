@@ -151,7 +151,8 @@ def _word_ngrams(text: str, n: int) -> list[str]:
 
 def jaccard_ngram_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.4,
-                        num_buckets: int = 64):
+                        num_buckets: int = 64, demote_sample: int = 1000,
+                        demote_k: int = 256):
     """ALL pairs with word-``n``-gram Jaccard >= ``threshold`` — exact, not
     approximate: prefix filtering (AllPairs/PPJoin family) instead of
     MinHash banding. Under any fixed total order of grams, two sets with
@@ -159,16 +160,32 @@ def jaccard_ngram_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     grams of each set, so blocking on prefix grams has perfect recall and
     the per-block verification computes the true Jaccard.
 
+    Gram order (AllPairs frequency trick): the ``demote_k`` most frequent
+    grams in a ``demote_sample``-document prefix of the input sort AFTER
+    all other grams, so prefixes prefer RARE grams and candidate buckets
+    stay small. The output pair set is identical for ANY fixed order — the
+    sample only tunes candidate volume, never recall — so the cheap
+    driver-side sample is safe at any scale.
+
     Scale shape: one shuffle keyed by prefix gram. Each row carries its
     full (distinct, sorted) gram set so verification is block-local — the
     standard similarity-join trade (heavier shuffle payload, no second
-    join). Lexicographic gram order is the global order: correct for any
-    fixed order; a frequency-ascending order would only shrink candidate
-    volume. Returns (a, b, jac) with a < b, deduped across blocks.
+    join). Returns (a, b, jac) with a < b, deduped across blocks.
     """
     import math
+    from collections import Counter
+
+    import ray
+
+    counts: Counter = Counter()
+    for row in ds.limit(demote_sample).take_all():
+        counts.update(_word_ngrams(row[text_col], n))
+    common = frozenset(g for g, _ in counts.most_common(demote_k))
+    common_ref = ray.put(common) if ray.is_initialized() else common
 
     def prefix_rows(t: pa.Table) -> pa.Table:
+        com = (ray.get(common_ref)
+               if not isinstance(common_ref, frozenset) else common_ref)
         ids = t[id_col].to_pylist()
         texts = t[text_col].to_pylist()
         g_out, id_out, set_out = [], [], []
@@ -177,7 +194,8 @@ def jaccard_ngram_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
             if not grams:
                 continue
             plen = len(grams) - math.ceil(threshold * len(grams)) + 1
-            for g in grams[:plen]:
+            ordered = sorted(grams, key=lambda g: (g in com, g))
+            for g in ordered[:plen]:
                 g_out.append(g)
                 id_out.append(i)
                 set_out.append(grams)
