@@ -136,7 +136,13 @@ def text_vector_search(query: str, taxonomy: pa.Table, *, top_k: int = 10,
 
 
 def node_properties(nodes_ds, entity_id: str) -> dict | None:
-    """Point lookup (J5, graph_database.py:357-398): filter pushdown on the
-    key column, take first."""
-    rows = nodes_ds.filter(expr=f'entity_id == "{entity_id}"').take(1)
+    """Point lookup (J5, graph_database.py:357-398).
+
+    Column-expression equality, NOT an interpolated filter string: a key
+    containing a quote must stay a literal value, never become expression
+    syntax."""
+    out = nodes_ds.map_batches(
+        lambda t: t.filter(pc.equal(t["entity_id"], pa.scalar(entity_id))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    rows = out.take(1)
     return rows[0] if rows else None

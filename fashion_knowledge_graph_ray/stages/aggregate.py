@@ -34,9 +34,19 @@ EDGE_KEYS = ["src", "dst", "rel"]
 
 def partial_edge_agg(batch: pa.Table) -> pa.Table:
     """In-batch combiner: pair observations -> one row per (src,dst,rel)
-    with partial weight + partial (sorted, capped) evidence list."""
+    with partial weight + partial (sorted DISTINCT, capped) evidence list.
+
+    ``ptrunc`` records whether THIS batch's distinct-url list was cut at
+    the cap: the merge needs it to flag truncation exactly — a capped
+    partial means the true distinct count exceeds the cap even when the
+    merged union happens to land at exactly ``EVIDENCE_CAP`` entries.
+    Deduping before the cap keeps the final pages list independent of how
+    duplicate observations are batched (duplicates possible when
+    ``dedup_pages`` is disabled)."""
     g = batch.group_by(EDGE_KEYS).aggregate([("url", "list"), ("url", "count")])
-    urls = [sorted(u)[:EVIDENCE_CAP] for u in g["url_list"].to_pylist()]
+    distinct = [sorted(set(u)) for u in g["url_list"].to_pylist()]
+    urls = [d[:EVIDENCE_CAP] for d in distinct]
+    ptrunc = [len(d) > EVIDENCE_CAP for d in distinct]
     return pa.table(
         {
             "src": g["src"],
@@ -44,23 +54,30 @@ def partial_edge_agg(batch: pa.Table) -> pa.Table:
             "rel": g["rel"],
             "weight": g["url_count"].cast(pa.int64()),
             "pages": pa.array(urls, type=pa.list_(pa.string())),
+            "ptrunc": pa.array(ptrunc, type=pa.bool_()),
         }
     )
 
 
 def _merge_edges_bucket(t: pa.Table) -> pa.Table:
-    """Vectorized merge of all edge keys in one bucket."""
+    """Vectorized merge of all edge keys in one bucket.
+
+    Truncation flag is exact: union-of-partials exceeding the cap, OR any
+    partial having been capped (in which case the true distinct count is
+    above the cap regardless of the union size) — never inferred from
+    weight, which over-counts when duplicate url observations exist."""
     df = t.to_pandas()
     w = df.groupby(EDGE_KEYS, sort=True)["weight"].sum()
+    pt = df.groupby(EDGE_KEYS, sort=True)["ptrunc"].any()
     ex = df[EDGE_KEYS + ["pages"]].explode("pages").dropna(subset=["pages"])
     ex = ex.drop_duplicates().sort_values(EDGE_KEYS + ["pages"])
     pages = ex.groupby(EDGE_KEYS, sort=True)["pages"].agg(list)
-    out = w.to_frame().join(pages, how="left").reset_index()
+    out = w.to_frame().join(pages, how="left").join(pt).reset_index()
     out["pages"] = out["pages"].map(
         lambda v: v if isinstance(v, list) else [])
     out["evidence_truncated"] = [
-        (len(p) > EVIDENCE_CAP) or (wt > len(p))
-        for p, wt in zip(out["pages"], out["weight"])
+        (len(p) > EVIDENCE_CAP) or bool(pflag)
+        for p, pflag in zip(out["pages"], out["ptrunc"])
     ]
     out["pages"] = out["pages"].map(lambda p: p[:EVIDENCE_CAP])
     return pa.table(

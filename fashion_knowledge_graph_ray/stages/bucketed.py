@@ -28,16 +28,40 @@ import pyarrow.compute as pc
 BUCKET_COL = "__bucket"
 
 
-def add_bucket_column(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.Table:
+def _polars_hash_ok() -> bool:
+    """Probed ONCE on the DRIVER at pipeline-construction time; the result
+    is captured in the stage closures shipped to workers, so every task of
+    a run buckets with the SAME engine even if a worker's local polars
+    import would have resolved differently. (Cross-worker polars *version*
+    skew is out of scope: Ray clusters ship one runtime image; this guard
+    removes the presence/absence hazard, which is the realistic one.)"""
+    try:
+        import polars as pl
+
+        return bool(
+            pl.DataFrame({"k": ["probe"]})
+            .select(pl.col("k").hash(seed=0))
+            .height == 1
+        )
+    except Exception:
+        return False
+
+
+def add_bucket_column(batch: pa.Table, keys: list[str], num_buckets: int,
+                      use_polars: bool | None = None) -> pa.Table:
     """Vectorized bucket id from the concatenated key columns.
 
     Fast path: polars' xxhash-based ``Expr.hash`` (seed 0) — vectorized and
     stable across worker processes within a run, which is all bucketing
     needs (outputs never depend on WHICH bucket a key lands in, only on
-    co-location). Fallback: per-row crc32."""
+    co-location). Fallback: per-row crc32. ``use_polars`` should be the
+    driver-probed ``_polars_hash_ok()`` decision; ``None`` probes locally
+    (only correct on the driver)."""
     if batch.num_rows == 0:
         return batch.append_column(BUCKET_COL, pa.array([], type=pa.int64()))
-    try:
+    if use_polars is None:
+        use_polars = _polars_hash_ok()
+    if use_polars:
         import polars as pl
 
         df = pl.from_arrow(batch.select(keys))
@@ -46,7 +70,7 @@ def add_bucket_column(batch: pa.Table, keys: list[str], num_buckets: int) -> pa.
                 if len(keys) > 1 else pl.col(keys[0]).cast(pl.Utf8))
         h = df.select(expr.hash(seed=0).alias("h"))["h"].to_numpy()
         b = (h % np.uint64(num_buckets)).astype(np.int64)
-    except ImportError:
+    else:
         sep = pa.scalar("\x1f")
         cols = [batch[k].cast(pa.string()) for k in keys]
         joined = cols[0]
@@ -82,13 +106,15 @@ def salted_group_apply(ds, keys: list[str], partial_fn, merge_fn, *,
     deterministic given the data, independent of partitioning.
     """
 
+    up = _polars_hash_ok()  # driver decision, captured in the closures
+
     def tag(batch: pa.Table) -> pa.Table:
-        t = add_bucket_column(batch, keys, num_buckets)
+        t = add_bucket_column(batch, keys, num_buckets, use_polars=up)
         if t.num_rows == 0:
             return t.append_column("__salt", pa.array([], type=pa.int64()))
         # row-content salt: hash of ALL columns so identical rows co-locate
         # deterministically but a hot key's rows spread uniformly
-        try:
+        if up:
             import polars as pl
 
             df = pl.from_arrow(t)
@@ -97,7 +123,7 @@ def salted_group_apply(ds, keys: list[str], partial_fn, merge_fn, *,
                  for c in t.column_names],
                 separator="\x1f").hash(seed=7).alias("h"))["h"].to_numpy()
             s = (h % np.uint64(salt)).astype(np.int64)
-        except ImportError:
+        else:
             s = np.fromiter(
                 (zlib.crc32(repr(r).encode()) % salt
                  for r in t.to_pylist()),
@@ -106,7 +132,7 @@ def salted_group_apply(ds, keys: list[str], partial_fn, merge_fn, *,
 
     def apply_partial(t: pa.Table) -> pa.Table:
         out = partial_fn(t.drop_columns([BUCKET_COL, "__salt"]))
-        return add_bucket_column(out, keys, num_buckets)
+        return add_bucket_column(out, keys, num_buckets, use_polars=up)
 
     def apply_merge(t: pa.Table) -> pa.Table:
         return merge_fn(t.drop_columns([BUCKET_COL]))
@@ -126,8 +152,10 @@ def bucketed_group_apply(ds, keys: list[str], bucket_fn, *,
     once per bucket. ``bucket_fn`` receives the table without the bucket
     column."""
 
+    up = _polars_hash_ok()  # driver decision, captured in the closure
+
     def tag(batch: pa.Table) -> pa.Table:
-        return add_bucket_column(batch, keys, num_buckets)
+        return add_bucket_column(batch, keys, num_buckets, use_polars=up)
 
     def apply(t: pa.Table) -> pa.Table:
         return bucket_fn(t.drop_columns([BUCKET_COL]))

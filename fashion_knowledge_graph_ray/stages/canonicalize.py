@@ -215,7 +215,7 @@ def _distinct_pairs(pairs_ds, *, num_buckets: int = 64):
                                 num_buckets=num_buckets)
 
 
-def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 10,
+def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 12,
                          num_buckets: int = 64,
                          max_driver_pairs: int = 2_000_000):
     """Min-label propagation over an undirected edge list.
@@ -228,10 +228,14 @@ def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 10,
     when the pair count fits ``max_driver_pairs`` the components are solved
     with a driver-side union-find over just the pairs and broadcast back as
     a remap over nodes — one pass, no iterative shuffles. The iterative
-    distributed path below handles the dense regime: each round is two
-    bucketed shuffles; converges in O(component diameter) rounds
-    (``max_iters=10`` covers diameter 2^10) with a label-checksum
-    early-stop."""
+    distributed path handles the dense regime: each round propagates min
+    labels over the static edges PLUS the current pointer graph
+    ``(label[id] -> id)`` — the pointer edges are exactly pointer-jumping
+    (``label[label[id]]`` reaches ``id`` in one hop), so label distances
+    roughly square per round and ``max_iters=12`` covers any component a
+    real machine can hold (diameter up to ~2^12 via doubling). If the
+    label checksum is still changing after ``max_iters`` rounds the result
+    would be a silently-wrong partial clustering, so it raises instead."""
     import ray
 
     pairs_ds = pairs_ds.materialize()
@@ -299,9 +303,12 @@ def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 10,
         return sum(r["v"] for r in parts)
 
     prev = None
+    converged = False
     for _ in range(max_iters):
         # message pass: for each edge (key -> nbr), the label of `key`
-        # travels to `nbr`; plus each node keeps its own label.
+        # travels to `nbr`; plus each node keeps its own label. The
+        # pointer edges (label[id] -> id) implement pointer-jumping:
+        # label[label[id]] arrives at id within the SAME propagate pass.
         def tag_label(t: pa.Table) -> pa.Table:
             return pa.table({"key": t["id"], "kind": ["L"] * t.num_rows,
                              "payload": t["label"]})
@@ -310,8 +317,17 @@ def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 10,
             return pa.table({"key": t["key"], "kind": ["E"] * t.num_rows,
                              "payload": t["nbr"]})
 
-        tagged = labels.map_batches(tag_label, batch_format="pyarrow").union(
-            edges.map_batches(tag_edge, batch_format="pyarrow"))
+        def tag_pointer(t: pa.Table) -> pa.Table:
+            # skip self-pointers (label == id): they carry no information
+            m = pa.compute.invert(pa.compute.equal(t["label"], t["id"]))
+            t = t.filter(m)
+            return pa.table({"key": t["label"], "kind": ["E"] * t.num_rows,
+                             "payload": t["id"]})
+
+        tagged = (labels.map_batches(tag_label, batch_format="pyarrow")
+                  .union(edges.map_batches(tag_edge, batch_format="pyarrow"))
+                  .union(labels.map_batches(tag_pointer,
+                                            batch_format="pyarrow")))
 
         def propagate(t: pa.Table) -> pa.Table:
             import pandas as pd
@@ -346,8 +362,15 @@ def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 10,
                                       num_buckets=num_buckets).materialize()
         cur = checksum(labels)
         if cur == prev:
+            converged = True
             break
         prev = cur
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iters} pointer-jumping rounds — refusing to return a "
+            f"partial (wrong) clustering; raise max_iters")
 
     def rename(t: pa.Table) -> pa.Table:
         return pa.table({"id": t["id"], "component": t["label"]})

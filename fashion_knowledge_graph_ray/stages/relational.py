@@ -74,9 +74,21 @@ def broadcast_join(ds, col: str, lookup: dict, new_cols: list[str], *,
     ``lookup`` maps key -> tuple of values (one per ``new_cols``).
     ``how="inner"`` drops rows with no match (the reference's drop-on-miss
     rule, recommender.py:167); ``how="left"`` keeps them with nulls
-    (the reference's null-tolerant J3)."""
+    (the reference's null-tolerant J3).
+
+    Appended-column types are derived ONCE from the lookup values on the
+    driver, so an all-miss batch under ``how="left"`` still emits the same
+    schema as every other block (an inferred all-null column would be
+    null-typed and break downstream union/write schema unification)."""
     import ray
 
+    def _infer(j: int) -> pa.DataType:
+        for v in lookup.values():
+            if v[j] is not None:
+                return pa.array([v[j]]).type
+        return pa.string()
+
+    col_types = [_infer(j) for j in range(len(new_cols))]
     ref = ray.put(lookup) if ray.is_initialized() else lookup
 
     def f(t: pa.Table) -> pa.Table:
@@ -90,7 +102,7 @@ def broadcast_join(ds, col: str, lookup: dict, new_cols: list[str], *,
         for j, name in enumerate(new_cols):
             t = t.append_column(
                 name, pa.array([h[j] if h is not None else None
-                                for h in hits]))
+                                for h in hits], type=col_types[j]))
         return t
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

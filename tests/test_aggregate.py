@@ -45,6 +45,7 @@ def test_merge_edges_bucket_weight_sum_and_dedup_evidence():
             "weight": pa.array([2, 3], type=pa.int64()),
             "pages": pa.array([["u2", "u1"], ["u1", "u3"]],
                               type=pa.list_(pa.string())),
+            "ptrunc": pa.array([False, False], type=pa.bool_()),
         }
     )
     out = _merge_edges_bucket(partials).to_pylist()
@@ -52,8 +53,10 @@ def test_merge_edges_bucket_weight_sum_and_dedup_evidence():
     r = out[0]
     assert r["weight"] == 5
     assert r["pages"] == ["u1", "u2", "u3"]
-    # weight 5 > 3 distinct pages -> a partial lost evidence -> flagged
-    assert r["evidence_truncated"] is True
+    # weight counts OBSERVATIONS (incl. duplicate urls); nothing was
+    # actually truncated (no partial capped, union under the cap), so the
+    # flag stays False — weight > len(pages) alone must NOT flag
+    assert r["evidence_truncated"] is False
 
 
 def test_merge_edges_bucket_cap():
@@ -63,12 +66,40 @@ def test_merge_edges_bucket_cap():
             "src": ["a"], "dst": ["b"], "rel": ["worn_with"],
             "weight": pa.array([len(many)], type=pa.int64()),
             "pages": pa.array([many], type=pa.list_(pa.string())),
+            "ptrunc": pa.array([False], type=pa.bool_()),
         }
     )
     r = _merge_edges_bucket(partials).to_pylist()[0]
     assert len(r["pages"]) == EVIDENCE_CAP
     assert r["evidence_truncated"] is True
     assert r["weight"] == EVIDENCE_CAP + 5  # weight never capped
+
+
+def test_capped_partial_flags_even_when_union_small():
+    # a capped partial proves true distinct count > cap, even though the
+    # union of shipped lists is exactly EVIDENCE_CAP entries
+    many = [f"u{i:03d}" for i in range(EVIDENCE_CAP)]
+    partials = pa.table(
+        {
+            "src": ["a"], "dst": ["b"], "rel": ["worn_with"],
+            "weight": pa.array([EVIDENCE_CAP + 3], type=pa.int64()),
+            "pages": pa.array([many], type=pa.list_(pa.string())),
+            "ptrunc": pa.array([True], type=pa.bool_()),
+        }
+    )
+    r = _merge_edges_bucket(partials).to_pylist()[0]
+    assert r["evidence_truncated"] is True
+
+
+def test_partial_edge_agg_dedups_within_batch():
+    # duplicate urls inside one batch must not evict distinct urls
+    t = _pairs_table([("a", "b", "worn_with", "u1")] * 3
+                     + [("a", "b", "worn_with", "u2")])
+    out = partial_edge_agg(t).to_pylist()
+    r = out[0]
+    assert r["weight"] == 4
+    assert r["pages"] == ["u1", "u2"]
+    assert r["ptrunc"] is False
 
 
 def test_same_pair_k_pages_weight_k(ray_session, tmp_path):

@@ -57,6 +57,28 @@ def test_canonicalize_merges_near_dups_only(ray_session):
     assert m["prod-1"] == "prod-1"
 
 
+def test_distributed_cc_long_chain_pointer_jumping(ray_session):
+    # Chain of 40 nodes (diameter 39): one-hop-per-round propagation would
+    # need 39 rounds; pointer jumping must converge well within
+    # max_iters=12. max_driver_pairs=0 forces the distributed path.
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        connected_components,
+    )
+
+    ids = [f"n{i:03d}" for i in range(40)]
+    pairs = rd.from_arrow(pa.table({
+        "a": ids[:-1], "b": ids[1:]}))
+    nodes = rd.from_arrow(pa.table({"id": ids + ["z-solo"]}))
+    out = {r["id"]: r["component"]
+           for r in connected_components(pairs, nodes,
+                                         max_driver_pairs=0,
+                                         num_buckets=4).take_all()}
+    assert all(out[i] == "n000" for i in ids)
+    assert out["z-solo"] == "z-solo"
+
+
 def test_canonicalize_transitive_cluster(ray_session):
     # a-b similar, b-c similar, a-c not: one component via transitivity
     t = pa.table(
