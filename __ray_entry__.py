@@ -481,6 +481,29 @@ def _q_jaccard_ngram_pairs_docs(sf_dir: str):
                                      ("jac", pa.float64())]))
 
 
+def _q_attr_extract_docs(sf_dir: str):
+    # M8 MAIN attribute profile (the 10-field closed vocabulary,
+    # reference prompts.py:4-13): scalar fields = first vocabulary token
+    # by position, list fields = all distinct hits sorted (joined with ','
+    # so the SQL compare stays scalar-typed).
+    from fashion_knowledge_graph_ray.stages.attributes import extract_attrs
+    from fashion_knowledge_graph_ray.vocab import LIST_FIELDS, SCALAR_FIELDS
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=32)
+
+    def f(t: pa.Table) -> pa.Table:
+        recs = [extract_attrs(x) for x in t["text"].to_pylist()]
+        cols = {"doc_id": t["doc_id"]}
+        for n in SCALAR_FIELDS:
+            cols[n] = pa.array([r[n] for r in recs], type=pa.string())
+        for n in LIST_FIELDS:
+            cols[n] = pa.array([",".join(r[n]) for r in recs],
+                               type=pa.string())
+        return pa.table(cols)
+
+    return docs.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_spec_attrs_docs(sf_dir: str):
     # M11 spec-sheet vocabulary profile: first-phrase-by-position rule
     from fashion_knowledge_graph_ray.stages.attributes import spec_attrs
@@ -610,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top1_per_order": _q_top1_per_order,
         "related_entities_topk": _q_related_entities_topk,
         "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
+        "attr_extract_docs": _q_attr_extract_docs,
         "spec_attrs_docs": _q_spec_attrs_docs,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
@@ -648,6 +672,46 @@ def _marker_sql(lang: str) -> str:
     from fashion_knowledge_graph_ray.functions.textstats import LANG_MARKERS
 
     return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
+
+
+def _attr_extract_sql() -> str:
+    """The M8 main-profile oracle: token-position scan per scalar field
+    (list_position = first occurrence), distinct-sorted-hit list per list
+    field, exactly mirroring stages/attributes.extract_attrs."""
+    from fashion_knowledge_graph_ray.vocab import (
+        ATTRIBUTE_FIELDS,
+        LIST_FIELDS,
+        SCALAR_FIELDS,
+    )
+
+    vocab = {n: v for n, v, _ in ATTRIBUTE_FIELDS}
+    ctes, selects, joins = [], [], []
+    for n in SCALAR_FIELDS:
+        vals = ", ".join(f"('{w}')" for w in vocab[n])
+        ctes.append(f"""
+c_{n} AS (
+  SELECT doc_id, v, list_position(toks, v) AS pos
+  FROM t, (VALUES {vals}) AS vv_{n}(v)
+  WHERE list_position(toks, v) > 0
+),
+s_{n} AS (
+  SELECT doc_id, v, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+  FROM c_{n}
+)""")
+        selects.append(f"coalesce(a_{n}.v, 'unknown') AS \"{n}\"")
+        joins.append(f"LEFT JOIN (SELECT doc_id, v FROM s_{n} WHERE rn = 1) "
+                     f"a_{n} USING (doc_id)")
+    for n in LIST_FIELDS:
+        arr = "[" + ", ".join(f"'{w}'" for w in vocab[n]) + "]"
+        # array_to_string([]) is NULL in DuckDB; the engine emits ''
+        selects.append(
+            f"coalesce(array_to_string(list_sort(list_intersect("
+            f"list_distinct(toks), {arr})), ','), '') AS \"{n}\"")
+    tok = "regexp_extract_all(lower(text), '[a-z0-9][a-z0-9-]*')"
+    return (f"WITH t AS (SELECT doc_id, {tok} AS toks FROM documents),"
+            + ",".join(ctes)
+            + "\nSELECT t.doc_id, " + ", ".join(selects)
+            + "\nFROM t " + " ".join(joins))
 
 
 def _spec_field_sql(field: str) -> tuple[str, str]:
@@ -882,6 +946,7 @@ p AS (
 )
 SELECT a, b, CAST(i AS DOUBLE) / (la + lb - i) AS jac
 FROM p WHERE i > 0 AND CAST(i AS DOUBLE) / (la + lb - i) >= 0.4""",
+        "attr_extract_docs": _attr_extract_sql(),
         "spec_attrs_docs": (
             "WITH t AS (SELECT doc_id, lower(text) AS lt FROM documents),"
             + ",".join(_spec_field_sql(f)[0]

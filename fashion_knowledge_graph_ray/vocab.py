@@ -23,27 +23,35 @@ TYPES = (
     "sunglasses", "bag", "hat", "scarf", "belt",
 )
 
+# The reference's color vocabulary is OPEN ("e.g. ..." in the prompt,
+# prompts.py:5). This engine needs a CLOSED list for deterministic
+# extraction, so: all 13 example colors from the prompt verbatim, extended
+# with 7 common colors to 20 entries. The length-20 is ALSO load-bearing:
+# entity ids are laid out as idx = color*1 + noun*20 (datagen.py:74-75)
+# and the DuckDB oracles recompute categories as `idx // 20`.
 COLORS = (
     "black", "white", "red", "blue", "green", "yellow", "pink", "purple",
-    "orange", "brown", "grey", "beige", "navy", "olive", "teal", "maroon",
-    "crimson", "ivory", "charcoal", "tan",
+    "orange", "brown", "gray", "beige", "multi-color", "navy", "olive",
+    "teal", "maroon", "crimson", "ivory", "charcoal",
 )
 
 STYLES = ("casual", "formal", "sporty", "business", "party", "beach")
 
 SEASONS = ("spring", "summer", "autumn", "winter", "all-season")
 
+# verbatim from the reference prompt (prompts.py:8)
 OCCASIONS = (
-    "work", "wedding", "vacation", "gym", "date", "festival",
-    "office", "outdoor", "lounge", "travel",
+    "casual", "business", "party", "wedding", "sports", "travel",
+    "work", "school", "evening", "holiday",
 )
 
 PRICES = ("low", "medium", "high")
 
+# verbatim from the reference prompt (prompts.py:10)
 MATERIALS = (
-    "cotton", "linen", "silk", "wool", "denim", "leather", "suede",
-    "polyester", "nylon", "velvet", "satin", "cashmere", "tweed",
-    "corduroy", "canvas",
+    "cotton", "denim", "leather", "silk", "wool", "linen", "polyester",
+    "nylon", "cashmere", "satin", "lace", "fur", "suede", "velvet",
+    "canvas",
 )
 
 FITS = ("slim", "regular", "loose", "oversized", "skinny", "relaxed")

@@ -93,7 +93,9 @@ def test_attrs_closed_vocab_and_fallback():
                       "during summer at a low price for adult shoppers")
     assert a["fit"] == "slim" and a["color"] == "crimson"
     assert a["material"] == ["linen"] and a["style"] == ["casual"]
-    assert a["season"] == ["summer"] and a["occasion"] == ["work"]
+    # "casual" is in BOTH the style and occasion vocabularies (verbatim
+    # reference lists, prompts.py:6,8) so it hits both list fields
+    assert a["season"] == ["summer"] and a["occasion"] == ["casual", "work"]
     assert a["price"] == "low" and a["age_group"] == "adult"
     # no-hit fallback: scalars -> "unknown", lists -> []
     b = extract_attrs("nothing relevant here at all")
