@@ -266,17 +266,28 @@ def _q_node_merge_lww(sf_dir: str):
 
 
 def _q_anti_join_customers(sf_dir: str):
-    # M2: customers with no orders (broadcast key-set anti-join)
-    import pyarrow.parquet as pq
+    # M2: customers with no HIGH-VALUE order (>350k — non-empty at every
+    # sf, unlike the plain no-orders variant whose 0=0 match exercised
+    # nothing). Routed by key-side size: at sf0.01+ the filtered orders
+    # side exceeds max_broadcast_keys and takes the SHUFFLE anti-join
+    # (groupby-anti, SURVEY.md §2.3 M2 large-side rule); tiny inputs
+    # broadcast.
+    import pyarrow.compute as pc
 
-    from fashion_knowledge_graph_ray.stages.relational import anti_join_keys
+    from fashion_knowledge_graph_ray.stages.relational import anti_join_auto
 
-    keys = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                         columns=["o_custkey"])["o_custkey"].to_pylist()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    hi = orders.map_batches(
+        lambda t: pa.table({"o_custkey": t.filter(
+            pc.greater(t["o_totalprice"], 350000.0))["o_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
-    return _as_table(anti_join_keys(cust, "c_custkey", keys),
-                     pa.schema([("c_custkey", pa.int64()),
-                                ("c_name", pa.string())]))
+    out = anti_join_auto(cust, "c_custkey", hi, "o_custkey",
+                         max_broadcast_keys=2000, num_buckets=16)
+    return _as_table(out.map_batches(
+        lambda t: t.select(["c_custkey", "c_name"]),
+        batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]))
 
 
 def _q_filter_project_events(sf_dir: str):
@@ -386,11 +397,42 @@ def _q_ann_topk(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _aug_embeddings(sf_dir: str):
+    """embeddings plus an exact copy of the first 50 vectors at
+    vec_id + 100000 — the testdata vectors are mutually dissimilar (max
+    pairwise cosine ~0.6), so without the derived duplicates every
+    near-dup query is an information-free 0=0 oracle match. Same
+    derivation in the SQL oracle."""
+    import pyarrow.compute as pc
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.less(t["vec_id"], 50))
+        return pa.table({"vec_id": pc.add(k["vec_id"], 100000),
+                         "embedding": k["embedding"]})
+
+    return emb.union(emb.map_batches(derive, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+
+
 def _q_near_dup_cosine(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.dedup import embedding_neardup_pairs
 
-    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
-    out = embedding_neardup_pairs(emb, threshold=0.95)
+    out = embedding_neardup_pairs(_aug_embeddings(sf_dir), threshold=0.95)
+    out = out.map_batches(lambda t: t.select(["a", "b"]),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    return _as_table(out, pa.schema([("a", pa.int64()), ("b", pa.int64())]))
+
+
+def _q_near_dup_cosine_lsh(sf_dir: str):
+    # the approximate scale path on the same fixture: identical vectors
+    # collide in every hyperplane table, so recall on the planted exact
+    # duplicates is 1.0 and the SAME SQL oracle applies
+    from fashion_knowledge_graph_ray.stages.dedup import lsh_neardup_pairs
+
+    out = lsh_neardup_pairs(_aug_embeddings(sf_dir), threshold=0.95,
+                            num_buckets=16)
     out = out.map_batches(lambda t: t.select(["a", "b"]),
                           batch_format="pyarrow", zero_copy_batch=True)
     return _as_table(out, pa.schema([("a", pa.int64()), ("b", pa.int64())]))
@@ -626,6 +668,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
         "near_dup_cosine": _q_near_dup_cosine,
+        "near_dup_cosine_lsh": _q_near_dup_cosine_lsh,
         "tumbling_window_events": _q_tumbling_window_events,
         "session_window_events": _q_session_window_events,
         "broadcast_join_lineitem": _q_broadcast_join_lineitem,
@@ -650,6 +693,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ── oracle SQL ───────────────────────────────────────────────────────────
+
+# embeddings + planted exact duplicates (see _aug_embeddings): the exact
+# broadcast path and the LSH scale path both recover precisely the planted
+# pairs on this fixture, so one oracle serves both queries.
+_NEAR_DUP_SQL = """
+WITH e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.95"""
 
 def _cat_case_sql(var: str) -> str:
     """CASE mapping entity index -> category, generated from the same
@@ -818,7 +875,8 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
                            ORDER BY o_orderdate DESC, o_orderkey DESC) = 1""",
         "anti_join_customers": """
 SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 350000)""",
         "filter_project_events": """
 SELECT event_id, user_id, event_type, value FROM events
 WHERE event_type IN ('click', 'purchase')""",
@@ -876,12 +934,8 @@ SELECT query_id, vec_id,
        row_number() OVER (PARTITION BY query_id
                           ORDER BY score DESC, vec_id) AS rank
 FROM s QUALIFY rank <= 10""",
-        "near_dup_cosine": """
-SELECT a.vec_id AS a, b.vec_id AS b
-FROM embeddings a CROSS JOIN embeddings b
-WHERE a.vec_id < b.vec_id
-  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.95""",
+        "near_dup_cosine": _NEAR_DUP_SQL,
+        "near_dup_cosine_lsh": _NEAR_DUP_SQL,
         "tumbling_window_events": """
 SELECT user_id, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events, max(value) AS max_value

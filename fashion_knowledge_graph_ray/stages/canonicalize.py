@@ -113,7 +113,8 @@ def candidate_pairs(band_rows_ds, texts_ds, *,
                     threshold: float = _JACCARD_THRESHOLD,
                     shingle_k: int = _SHINGLE_K,
                     text_col: str = "text", id_col: str = "id",
-                    num_buckets: int = 64, max_bucket_size: int = 2000):
+                    num_buckets: int = 64, max_bucket_size: int = 2000,
+                    max_broadcast_pairs: int = 500_000):
     """LSH band rows + texts -> verified similar pairs (a < b), distinct.
 
     Three narrow phases, each sized by how rare near-duplicates are:
@@ -121,14 +122,17 @@ def candidate_pairs(band_rows_ds, texts_ds, *,
     1. id-pairs per LSH bucket (groups >=2 only; groups over
        ``max_bucket_size`` are truncated deterministically rather than
        O(n^2) blowup) -> distinct (a, b);
-    2. semi-join: texts are fetched for ONLY the ids that appear in some
-       candidate pair (broadcast id-set filter over ``texts_ds``);
-    3. verification: exact shingle-Jaccard per distinct pair, shingling
-       each involved text once.
+    2. semi-join: shingle hashes are computed for ONLY the ids that appear
+       in some candidate pair;
+    3. verification: exact shingle-Jaccard per distinct pair.
 
-    The involved-text map is broadcast via ``ray.put`` — fine while
-    near-dup candidates are a sliver of the corpus (the expected regime);
-    a corpus that is MOSTLY duplicates should run exact dedup first."""
+    Two-regime routing on the candidate count: up to
+    ``max_broadcast_pairs`` the involved texts are fetched with a
+    broadcast id-set filter and the verification runs against a broadcast
+    id->shingles map (one pass, no extra shuffles). A larger candidate set
+    routes to ``_verify_pairs_shuffle`` — a fully bucketed semi-join +
+    two-sided attach that never materializes anything on the driver, so a
+    duplicate-heavy crawl cannot OOM the coordinator."""
     import ray
 
     def pairs_in_buckets(t: pa.Table) -> pa.Table:
@@ -154,6 +158,11 @@ def candidate_pairs(band_rows_ds, texts_ds, *,
     raw = bucketed_group_apply(band_rows_ds, ["band_key"], pairs_in_buckets,
                                num_buckets=num_buckets)
     cand = _distinct_pairs(raw, num_buckets=num_buckets).materialize()
+
+    if cand.count() > max_broadcast_pairs:
+        return _verify_pairs_shuffle(
+            cand, texts_ds, threshold=threshold, shingle_k=shingle_k,
+            text_col=text_col, id_col=id_col, num_buckets=num_buckets)
 
     involved: set[str] = set()
     for batch in cand.iter_batches(batch_format="pyarrow"):
@@ -202,6 +211,148 @@ def candidate_pairs(band_rows_ds, texts_ds, *,
 
     return cand.map_batches(verify, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def _verify_pairs_shuffle(cand, texts_ds, *, threshold: float,
+                          shingle_k: int, text_col: str, id_col: str,
+                          num_buckets: int = 64):
+    """Driver-free verification of candidate pairs — the dense-regime path.
+
+    Four bucketed phases, every one shuffling only candidate-sized data:
+
+    1. distinct involved ids from both pair sides;
+    2. semi-join against ``texts_ds`` keyed by id: texts of involved ids
+       reduce to (id, shingle-hash list) in-bucket — the corpus never
+       leaves its blocks, only the involved sliver's hashes do;
+    3. attach side-a shingles to each pair (bucketed on a);
+    4. attach side-b shingles + exact Jaccard verdict (bucketed on b).
+
+    Identical output to the broadcast path (same shingle hashing, same
+    size-prune + intersect arithmetic)."""
+    import pandas as pd
+
+    # 1. involved ids, distinct
+    def both_sides(t: pa.Table) -> pa.Table:
+        return pa.table({"id": pa.concat_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()])})
+
+    def dd_id(t: pa.Table) -> pa.Table:
+        return t.group_by(["id"]).aggregate([])
+
+    inv = bucketed_group_apply(
+        cand.map_batches(both_sides, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(dd_id, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["id"], dd_id, num_buckets=num_buckets)
+
+    # 2. semi-join texts on involved ids; shingle in-bucket
+    def tag_inv(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"id": t["id"], "kind": ["I"] * n,
+                         "text": pa.nulls(n, type=pa.string())})
+
+    def tag_text(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"id": t[id_col].cast(pa.string()),
+                         "kind": ["T"] * n, "text": t[text_col]})
+
+    tagged = inv.map_batches(tag_inv, batch_format="pyarrow").union(
+        texts_ds.map_batches(tag_text, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def shingle_bucket(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"id": t["id"].to_pandas(),
+                           "kind": t["kind"].to_pandas(),
+                           "text": t["text"].to_pandas()})
+        wanted = set(df.loc[df["kind"] == "I", "id"])
+        hit = df[(df["kind"] == "T") & df["id"].isin(wanted)]
+        hit = hit.drop_duplicates("id")
+        ids = hit["id"].tolist()
+        # involved ids with NO text row still verify as _shingle_hashes("")
+        # (broadcast-path parity: tm.get(i, ""))
+        missing = sorted(wanted - set(ids))
+        shs = [_shingle_hashes(x or "", shingle_k) for x in hit["text"]] + \
+              [_shingle_hashes("", shingle_k) for _ in missing]
+        return pa.table({
+            "id": pa.array(ids + missing, type=pa.string()),
+            "sh": pa.array([s.tolist() for s in shs],
+                           type=pa.list_(pa.uint64())),
+        })
+
+    # shingles feed BOTH attach phases — materialize once, not recompute
+    shingles_ds = bucketed_group_apply(tagged, ["id"], shingle_bucket,
+                                       num_buckets=num_buckets).materialize()
+
+    # 3./4. attach shingles to each side, verify on the second attach
+    def tag_sh(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t["id"], "kind": ["S"] * n,
+                         "other": pa.nulls(n, type=pa.string()),
+                         "sh": t["sh"]})
+
+    def attach(t: pa.Table, out_cols) -> pa.Table:
+        df = pd.DataFrame({"key": t["key"].to_pandas(),
+                           "kind": t["kind"].to_pandas(),
+                           "other": t["other"].to_pandas(),
+                           "sh": t["sh"].to_pandas()})
+        smap = dict(zip(df.loc[df["kind"] == "S", "key"],
+                        df.loc[df["kind"] == "S", "sh"]))
+        p = df[df["kind"] == "P"]
+        return out_cols(p, smap)
+
+    def attach_a(t: pa.Table) -> pa.Table:
+        def out(p, smap):
+            return pa.table({
+                "a": pa.array(p["key"].tolist(), type=pa.string()),
+                "b": pa.array(p["other"].tolist(), type=pa.string()),
+                "sh_a": pa.array([np.asarray(smap.get(k, []),
+                                             dtype=np.uint64).tolist()
+                                  for k in p["key"]],
+                                 type=pa.list_(pa.uint64())),
+            })
+        return attach(t, out)
+
+    step_a = bucketed_group_apply(
+        cand.map_batches(lambda t: pa.table(
+            {"key": t["a"], "kind": ["P"] * t.num_rows, "other": t["b"],
+             "sh": pa.nulls(t.num_rows, type=pa.list_(pa.uint64()))}),
+            batch_format="pyarrow").union(
+            shingles_ds.map_batches(tag_sh, batch_format="pyarrow")),
+        ["key"], attach_a, num_buckets=num_buckets)
+
+    def attach_b_verify(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"key": t["key"].to_pandas(),
+                           "kind": t["kind"].to_pandas(),
+                           "other": t["other"].to_pandas(),
+                           "sh": t["sh"].to_pandas()})
+        smap = dict(zip(df.loc[df["kind"] == "S", "key"],
+                        df.loc[df["kind"] == "S", "sh"]))
+        p = df[df["kind"] == "P"]
+        a_out, b_out = [], []
+        for b_id, a_id, sh_a in zip(p["key"], p["other"], p["sh"]):
+            sa = np.asarray(sh_a, dtype=np.uint64)
+            sb = np.asarray(smap.get(b_id, []), dtype=np.uint64)
+            la, lb = sa.size, sb.size
+            if la == 0 and lb == 0:
+                a_out.append(a_id); b_out.append(b_id)
+                continue
+            if min(la, lb) < threshold * max(la, lb):  # size prune
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter / (la + lb - inter) >= threshold:
+                a_out.append(a_id); b_out.append(b_id)
+        return pa.table({"a": pa.array(a_out, type=pa.string()),
+                         "b": pa.array(b_out, type=pa.string())})
+
+    step_b_in = step_a.map_batches(
+        lambda t: pa.table(
+            {"key": t["b"], "kind": ["P"] * t.num_rows, "other": t["a"],
+             "sh": t["sh_a"]}),
+        batch_format="pyarrow").union(
+        shingles_ds.map_batches(tag_sh, batch_format="pyarrow"))
+    return bucketed_group_apply(step_b_in, ["key"], attach_b_verify,
+                                num_buckets=num_buckets)
 
 
 def _distinct_pairs(pairs_ds, *, num_buckets: int = 64):

@@ -142,17 +142,32 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 # ── exact n-gram Jaccard similarity join (prefix filtering) ─────────────
 
-def _word_ngrams(text: str, n: int) -> list[str]:
+def _word_ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Sorted distinct 64-bit hashes of the word-n-grams. Jaccard over the
+    hash sets equals Jaccard over the gram sets unless two DISTINCT grams
+    of a compared pair collide in 64 bits (~n^2/2^64 — never at any corpus
+    size that fits a machine), so shipping 8-byte hashes instead of the
+    gram strings preserves the exact join result while cutting the shuffle
+    payload ~8x (measured: the gram-string variant was the slowest bench
+    query)."""
+    import hashlib
+
     ws = (text or "").strip().lower().split()
     if len(ws) < n:
-        return []
-    return sorted({" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)})
+        return np.empty(0, dtype=np.uint64)
+    grams = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+    hs = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(g.encode("utf-8"),
+                                        digest_size=8).digest(), "little")
+         for g in grams),
+        dtype=np.uint64, count=len(grams))
+    return np.unique(hs)
 
 
 def jaccard_ngram_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.4,
                         num_buckets: int = 64, demote_sample: int = 1000,
-                        demote_k: int = 256):
+                        demote_k: int = 256, prefix_batch_size: int = 1024):
     """ALL pairs with word-``n``-gram Jaccard >= ``threshold`` — exact, not
     approximate: prefix filtering (AllPairs/PPJoin family) instead of
     MinHash banding. Under any fixed total order of grams, two sets with
@@ -161,86 +176,116 @@ def jaccard_ngram_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     the per-block verification computes the true Jaccard.
 
     Gram order (AllPairs frequency trick): the ``demote_k`` most frequent
-    grams in a ``demote_sample``-document prefix of the input sort AFTER
-    all other grams, so prefixes prefer RARE grams and candidate buckets
-    stay small. The output pair set is identical for ANY fixed order — the
-    sample only tunes candidate volume, never recall — so the cheap
-    driver-side sample is safe at any scale.
+    gram hashes in a ``demote_sample``-document prefix of the input sort
+    AFTER all other grams, so prefixes prefer RARE grams and candidate
+    buckets stay small. The output pair set is identical for ANY fixed
+    order — the sample only tunes candidate volume, never recall — so the
+    cheap driver-side sample is safe at any scale.
 
-    Scale shape: one shuffle keyed by prefix gram. Each row carries its
-    full (distinct, sorted) gram set so verification is block-local — the
-    standard similarity-join trade (heavier shuffle payload, no second
-    join). Returns (a, b, jac) with a < b, deduped across blocks.
+    Scale shape: one shuffle keyed by prefix-gram hash; rows carry the
+    full gram set as ``list<uint64>`` (8 bytes/gram, not strings) so
+    verification is block-local. The PPJoin LENGTH filter prunes pairs
+    before intersection: Jaccard >= t forces min(|a|,|b|) >= t*max(|a|,|b|).
+    Returns (a, b, jac) with a < b, deduped across blocks.
     """
     import math
-    from collections import Counter
 
     import ray
 
+    sample = ds.limit(demote_sample).take_all()
+    from collections import Counter
+
     counts: Counter = Counter()
-    for row in ds.limit(demote_sample).take_all():
-        counts.update(_word_ngrams(row[text_col], n))
+    for row in sample:
+        counts.update(_word_ngram_hashes(row[text_col], n).tolist())
     common = frozenset(g for g, _ in counts.most_common(demote_k))
     common_ref = ray.put(common) if ray.is_initialized() else common
 
     def prefix_rows(t: pa.Table) -> pa.Table:
         com = (ray.get(common_ref)
                if not isinstance(common_ref, frozenset) else common_ref)
+        com_arr = np.fromiter(com, dtype=np.uint64, count=len(com))
         ids = t[id_col].to_pylist()
         texts = t[text_col].to_pylist()
         g_out, id_out, set_out = [], [], []
         for i, x in zip(ids, texts):
-            grams = _word_ngrams(x, n)
-            if not grams:
+            hs = _word_ngram_hashes(x, n)
+            if hs.size == 0:
                 continue
-            plen = len(grams) - math.ceil(threshold * len(grams)) + 1
-            ordered = sorted(grams, key=lambda g: (g in com, g))
-            for g in ordered[:plen]:
+            plen = hs.size - math.ceil(threshold * hs.size) + 1
+            is_com = np.isin(hs, com_arr) if com_arr.size else \
+                np.zeros(hs.shape, dtype=bool)
+            rare = hs[~is_com]
+            if rare.size >= plen:
+                prefix = rare[:plen]
+            else:  # not enough rare grams: pad with the common ones
+                comm = hs[is_com]
+                prefix = np.concatenate([rare, comm[:plen - rare.size]])
+            for g in prefix.tolist():
                 g_out.append(g)
                 id_out.append(i)
-                set_out.append(grams)
+                set_out.append(hs)
         return pa.table({
-            "gram": pa.array(g_out, type=pa.string()),
+            "gram": pa.array(g_out, type=pa.uint64()),
             "id": pa.array(id_out, type=pa.int64()),
-            "grams": pa.array(set_out, type=pa.list_(pa.string())),
+            "grams": pa.array(set_out, type=pa.list_(pa.uint64())),
         })
 
+    # explicit batch_size: prefix_rows EXPANDS ~|prefix| x, and Ray fuses
+    # it with the downstream bucket-tag stage — without a bound, the fused
+    # task bundles the whole (small) input into ONE task and the sort then
+    # reduces to ONE partition, serializing verification (observed: 12.6s
+    # single-task verify at sf0.1).
     blocks = ds.map_batches(prefix_rows, batch_format="pyarrow",
+                            batch_size=prefix_batch_size,
                             zero_copy_batch=True)
 
     def verify(t: pa.Table) -> pa.Table:
         import pandas as pd
 
+        # candidate generation is a vectorized self-merge per gram group
+        # (C-speed), length-filtered and deduped BEFORE the per-pair
+        # intersection loop — only surviving unique pairs pay Python cost
         df = pd.DataFrame({"gram": t["gram"].to_pandas(),
                            "id": t["id"].to_pandas(),
                            "grams": t["grams"].to_pandas()})
+        first = df.drop_duplicates("id")
+        gram_of = dict(zip(first["id"],
+                           (np.asarray(g, dtype=np.uint64)
+                            for g in first["grams"])))
+        sizes = {i: g.size for i, g in gram_of.items()}
+        m = df[["gram", "id"]].drop_duplicates()
+        j = m.merge(m, on="gram")
+        j = j[j["id_x"] < j["id_y"]][["id_x", "id_y"]].drop_duplicates()
+        if len(j) == 0:
+            return pa.table({"a": pa.array([], type=pa.int64()),
+                             "b": pa.array([], type=pa.int64()),
+                             "jac": pa.array([], type=pa.float64())})
+        la = j["id_x"].map(sizes).to_numpy()
+        lb = j["id_y"].map(sizes).to_numpy()
+        # PPJoin length filter: |inter| <= min  =>  jac <= min/max
+        keep = np.minimum(la, lb) >= threshold * np.maximum(la, lb)
+        j = j[keep]
         a_out, b_out, j_out = [], [], []
-        seen: set[tuple[int, int]] = set()
-        for _, grp in df.groupby("gram", sort=True):
-            grp = grp.drop_duplicates("id").sort_values("id")
-            members = list(zip(grp["id"], grp["grams"]))
-            for i in range(len(members)):
-                ia, ga = members[i]
-                sa = set(ga)
-                for k in range(i + 1, len(members)):
-                    ib, gb = members[k]
-                    key = (int(ia), int(ib))
-                    if key in seen:
-                        continue
-                    seen.add(key)
-                    inter = len(sa.intersection(gb))
-                    if inter == 0:
-                        continue
-                    jac = inter / (len(sa) + len(gb) - inter)
-                    if jac >= threshold:
-                        a_out.append(key[0]); b_out.append(key[1])
-                        j_out.append(jac)
+        for ia, ib in zip(j["id_x"].tolist(), j["id_y"].tolist()):
+            sa, sb = gram_of[ia], gram_of[ib]
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            if inter == 0:
+                continue
+            jac = inter / (sa.size + sb.size - inter)
+            if jac >= threshold:
+                a_out.append(ia); b_out.append(ib); j_out.append(jac)
         return pa.table({"a": pa.array(a_out, type=pa.int64()),
                          "b": pa.array(b_out, type=pa.int64()),
                          "jac": pa.array(j_out, type=pa.float64())})
 
+    # tag batch_size matches prefix_batch_size: Ray fuses prefix_rows with
+    # the bucket-tag map, and the LARGER of the two batch sizes would
+    # re-bundle the whole small input into one task (one sort partition,
+    # serial verify)
     raw = bucketed_group_apply(blocks, ["gram"], verify,
-                               num_buckets=num_buckets)
+                               num_buckets=num_buckets,
+                               batch_size=prefix_batch_size)
 
     def dd(t: pa.Table) -> pa.Table:
         g = t.group_by(["a", "b"]).aggregate([("jac", "min")])
@@ -253,17 +298,112 @@ def jaccard_ngram_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
 # ── embedding-cosine near-dup ────────────────────────────────────────────
 
+def lsh_neardup_pairs(ds, *, emb_col: str = "embedding",
+                      id_col: str = "vec_id", threshold: float = 0.95,
+                      ntables: int = 6, nbits: int = 8, seed: int = 42,
+                      num_buckets: int = 64):
+    """APPROXIMATE cosine near-dup pairs via random-hyperplane LSH — the
+    scale path behind ``embedding_neardup_pairs``.
+
+    ``ntables`` independent sign-bit hash tables of ``nbits`` hyperplanes
+    each; vectors sharing a key in ANY table become candidates, verified
+    exactly in-bucket (batch matmul). For cosine >= 0.95 (angle <= 18°)
+    the per-table collision probability is (1 - 18/180)^8 ≈ 0.43, so six
+    tables catch ≈ 1-(1-0.43)^6 ≈ 97% of true pairs — approximate by
+    design; documented trade for never materializing the corpus.
+
+    Scale shape: one shuffle of (table_id:bucket_key, id, vec) rows
+    (``ntables`` x corpus), candidate pairs generated + verified per
+    bucket, then a distinct pass. Deterministic: fixed-seed hyperplanes,
+    (a < b) emitted once per table, deduped."""
+    import ray
+
+    # probe the dimension from one row (cheap; avoids schema reliance)
+    dim = len(ds.limit(1).take_all()[0][emb_col])
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((ntables, nbits, dim))
+    planes_ref = ray.put(planes) if ray.is_initialized() else planes
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        pl = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) \
+            else planes_ref
+        ids = np.asarray(t[id_col].to_pylist())
+        mat = np.stack([np.asarray(v, dtype=np.float64)
+                        for v in t[emb_col].to_pylist()])
+        keys, out_i, out_v = [], [], []
+        weights = 1 << np.arange(nbits)
+        for ti in range(ntables):
+            signs = (mat @ pl[ti].T) >= 0
+            codes = signs @ weights
+            for i, c in zip(ids, codes):
+                keys.append(f"{ti}:{int(c)}")
+                out_i.append(int(i))
+            out_v.extend(mat)
+        return pa.table({
+            "bkey": pa.array(keys, type=pa.string()),
+            "id": pa.array(out_i, type=pa.int64()),
+            "vec": pa.array([v.tolist() for v in out_v],
+                            type=pa.list_(pa.float64())),
+        })
+
+    rows = ds.map_batches(to_buckets, batch_format="pyarrow",
+                          batch_size=1024, zero_copy_batch=True)
+
+    def pairs_in_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"bkey": t["bkey"].to_pandas(),
+                           "id": t["id"].to_pandas(),
+                           "vec": t["vec"].to_pandas()})
+        a_out, b_out, c_out = [], [], []
+        for _, g in df.groupby("bkey", sort=True):
+            g = g.drop_duplicates("id").sort_values("id")
+            if len(g) < 2:
+                continue
+            ids = g["id"].to_numpy()
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            m = m / nrm
+            sims = m @ m.T
+            ii, jj = np.where(np.triu(sims >= threshold, k=1))
+            for i, j in zip(ii, jj):
+                a_out.append(int(ids[i])); b_out.append(int(ids[j]))
+                c_out.append(float(sims[i, j]))
+        return pa.table({"a": pa.array(a_out, type=pa.int64()),
+                         "b": pa.array(b_out, type=pa.int64()),
+                         "cosine": pa.array(c_out, type=pa.float64())})
+
+    raw = bucketed_group_apply(rows, ["bkey"], pairs_in_bucket,
+                               num_buckets=num_buckets)
+
+    def dd(t: pa.Table) -> pa.Table:
+        g = t.group_by(["a", "b"]).aggregate([("cosine", "max")])
+        return pa.table({"a": g["a"], "b": g["b"], "cosine": g["cosine_max"]})
+
+    partial = raw.map_batches(dd, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(partial, ["a", "b"], dd,
+                                num_buckets=num_buckets)
+
+
 def embedding_neardup_pairs(ds, *, emb_col: str = "embedding",
                             id_col: str = "vec_id",
-                            threshold: float = 0.95):
+                            threshold: float = 0.95,
+                            max_driver_vecs: int = 100_000):
     """Pairs (a < b) with cosine >= threshold.
 
-    Broadcast-matrix design: the full normalized matrix rides into every
-    task ONCE via ``ray.put`` and each batch computes one (batch x all)
-    matmul — right up to ~10^5 x few-hundred dims. Beyond that, swap in the
-    LSH-bucketed variant (stages/ann.py, random-hyperplane buckets) so
-    candidates are generated per bucket instead of all-pairs."""
+    Two-regime routing (same shape as ``connected_components``): when the
+    table fits ``max_driver_vecs`` the EXACT broadcast-matrix path runs —
+    the full normalized matrix rides into every task once via ``ray.put``
+    and each batch computes one (batch x all) matmul. A larger table
+    automatically routes to ``lsh_neardup_pairs`` (random-hyperplane
+    buckets, approximate-by-design), so no input size can materialize the
+    corpus on the driver."""
     import ray
+
+    if ds.count() > max_driver_vecs:
+        return lsh_neardup_pairs(ds, emb_col=emb_col, id_col=id_col,
+                                 threshold=threshold)
 
     all_tbl = ds.select_columns([id_col, emb_col]).take_all()
     ids = np.array([r[id_col] for r in all_tbl])

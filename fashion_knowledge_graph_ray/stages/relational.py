@@ -50,6 +50,68 @@ def anti_join_keys(ds, col: str, keys):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def anti_join_shuffle(left_ds, left_key: str, right_ds, right_key: str, *,
+                      num_buckets: int = 64):
+    """Shuffle anti-join for a LARGE key side (SURVEY.md §2.3 M2: "large
+    side -> groupby anti"): rows of ``left_ds`` whose ``left_key`` has no
+    match in ``right_ds[right_key]``.
+
+    Both sides shuffle on the key bucket; within a bucket the right side
+    reduces to a key set and the left rows filter against it — no driver
+    materialization of either side. The right side pre-dedups per batch so
+    a hot key ships one row per block."""
+    s = left_ds.schema()  # ray.data Schema wrapper: .names + arrow .types
+    left_names = list(s.names)
+    left_types = dict(zip(s.names, s.types))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return t.append_column("__side", pa.array([0] * t.num_rows,
+                                                  type=pa.int64()))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        keys = pc.unique(t[right_key].combine_chunks())
+        n = len(keys)
+        cols = {}
+        for name in left_names:
+            typ = left_types[name]
+            if name == left_key:
+                cols[name] = keys.cast(typ)
+            else:
+                cols[name] = pa.nulls(n, type=typ)
+        cols["__side"] = pa.array([1] * n, type=pa.int64())
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def anti_bucket(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        right_keys = pc.unique(t.filter(pa.array(side == 1))[left_key])
+        left = t.filter(pa.array(side == 0))
+        keep = pc.invert(pc.is_in(left[left_key], value_set=right_keys))
+        return left.filter(keep).drop_columns(["__side"])
+
+    return bucketed_group_apply(both, [left_key], anti_bucket,
+                                num_buckets=num_buckets)
+
+
+def anti_join_auto(left_ds, left_key: str, right_ds, right_key: str, *,
+                   max_broadcast_keys: int = 5_000_000,
+                   num_buckets: int = 64):
+    """M2 anti-join routed by key-side size: a key side small enough to
+    broadcast uses the shuffle-free ``anti_join_keys`` path; a larger one
+    routes to ``anti_join_shuffle``. ``right_ds.count()`` on a parquet
+    read is metadata-only."""
+    if right_ds.count() <= max_broadcast_keys:
+        keys = [r[right_key] for r in
+                right_ds.select_columns([right_key]).take_all()]
+        return anti_join_keys(left_ds, left_key, keys)
+    return anti_join_shuffle(left_ds, left_key, right_ds, right_key,
+                             num_buckets=num_buckets)
+
+
 def semi_join_keys(ds, col: str, keys):
     import ray
 

@@ -9,7 +9,7 @@ import pyarrow as pa
 import pytest
 
 from fashion_knowledge_graph_ray.stages.dedup import (
-    _word_ngrams,
+    _word_ngram_hashes,
     jaccard_ngram_pairs,
 )
 from fashion_knowledge_graph_ray.stages.relational import (
@@ -102,9 +102,10 @@ def test_union_upsert_base_wins(ray_session):
     assert got == {1: ("b1", "base"), 2: ("b2", "base"), 3: ("n3", "new")}
 
 
-def test_word_ngrams_distinct_sorted():
-    assert _word_ngrams("a b a b a", 2) == ["a b", "b a"]
-    assert _word_ngrams("one two", 3) == []
+def test_word_ngram_hashes_distinct_sorted():
+    h = _word_ngram_hashes("a b a b a", 2)
+    assert h.size == 2 and list(h) == sorted(set(h))  # {"a b", "b a"}
+    assert _word_ngram_hashes("one two", 3).size == 0
 
 
 def test_jaccard_ngram_pairs_exact_vs_bruteforce(ray_session):
@@ -127,7 +128,7 @@ def test_jaccard_ngram_pairs_exact_vs_bruteforce(ray_session):
     got = {(r["a"], r["b"]): r["jac"] for r in out}
 
     def grams(t):
-        return set(_word_ngrams(t, 3))
+        return set(_word_ngram_hashes(t, 3).tolist())
 
     want = {}
     for i, j in itertools.combinations(range(len(texts)), 2):
