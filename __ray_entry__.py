@@ -65,7 +65,7 @@ def _kg_outdir(sf_dir: str, tag: str) -> str:
     return f"/tmp/fkgr_entry/{sf}_{tag}"
 
 
-def _build_kg(sf_dir: str, link_mode: str):
+def _build_kg(sf_dir: str, link_mode: str, *, canonicalize: bool = False):
     """Full KG pipeline over pages derived from the documents table."""
     import ray
 
@@ -75,11 +75,13 @@ def _build_kg(sf_dir: str, link_mode: str):
 
     tax = gen_taxonomy(42)
     pages = pages_from_documents(sf_dir)  # text=None -> extract from html
+    tag = link_mode + ("_canon" if canonicalize else "")
     # small fixed pools: the sf inputs here are 500-5000 docs, where
     # auto-sized pools (up to 24 actors at 32 cpus) spend more wall time
     # spawning actors than linking
-    return build_graph(pages, tax, _kg_outdir(sf_dir, link_mode),
-                       link_mode=link_mode, concurrency=(2, 4))
+    return build_graph(pages, tax, _kg_outdir(sf_dir, tag),
+                       link_mode=link_mode, canonicalize=canonicalize,
+                       concurrency=(2, 4))
 
 
 # ── entry ────────────────────────────────────────────────────────────────
@@ -581,6 +583,21 @@ def _q_kg_edges(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_kg_edges_canonical(sf_dir: str):
+    # north-rule canonicalization pass wired INTO the build: MinHash-LSH
+    # surface-form clusters -> canonical entity ids -> edges over canonical
+    # ids. Oracle recomputes the id remap from the pure-Python reference
+    # implementation (canonical_map_pure, conformance-tested equal to the
+    # distributed path).
+    res = _build_kg(sf_dir, "gazetteer", canonicalize=True)
+    edges = res.dataset("edges")
+    return edges.map_batches(
+        lambda t: t.select(["src", "dst", "rel", "weight"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+
+
 # rows-only (not SQL-expressible):
 
 def _q_kg_triples_embedding(sf_dir: str):
@@ -680,6 +697,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spec_attrs_docs": _q_spec_attrs_docs,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
+        "kg_edges_canonical": _q_kg_edges_canonical,
+        "canonical_map": _q_canonical_map,
         "media_frame_sample": _q_media_frame_sample,
         # rows-only checks:
         "media_image_features": _q_media_image_features,
@@ -688,7 +707,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "lsh_ann_topk": _q_lsh_ann_topk,
-        "canonical_map": _q_canonical_map,
     }
 
 
@@ -717,6 +735,35 @@ def _cat_case_sql(var: str) -> str:
         f"WHEN {i} THEN '{cat}'" for i, (_n, cat) in enumerate(PRODUCT_NOUNS)
     )
     return f"(CASE (({var}) // 20) {whens} END)"
+
+
+def _pure_canonical_map() -> dict[str, str]:
+    """entity_id -> canonical_id from the PURE (no-Ray) reference
+    implementation — the independent oracle for the distributed
+    canonicalization (tests assert both paths are identical)."""
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        canonical_map_pure,
+    )
+
+    return canonical_map_pure(gen_taxonomy(42))
+
+
+def _canon_case_sql(var: str) -> str:
+    """CASE remapping entity INDEX -> canonical entity index, generated
+    from the pure-python canonical map (identity entries omitted)."""
+    m = _pure_canonical_map()
+    whens = " ".join(
+        f"WHEN {int(k.split('-')[1])} THEN {int(v.split('-')[1])}"
+        for k, v in sorted(m.items()) if k != v)
+    return f"(CASE ({var}) {whens} ELSE ({var}) END)"
+
+
+def _canonical_map_values_sql() -> str:
+    m = _pure_canonical_map()
+    vals = ", ".join(f"('{k}', '{v}')" for k, v in sorted(m.items()))
+    return (f"SELECT entity_id, canonical_id FROM (VALUES {vals}) "
+            f"AS t(entity_id, canonical_id)")
 
 
 def _stop_list_sql() -> str:
@@ -821,6 +868,25 @@ pr AS (
          CASE WHEN {cat_a} = {cat_b} THEN 'complemented_by'
               ELSE 'worn_with' END AS rel
   FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.e < b.e
+),
+bo AS (
+  SELECT ea AS src, eb AS dst, rel FROM pr
+  UNION ALL
+  SELECT eb AS src, ea AS dst, rel FROM pr
+)
+SELECT src, dst, rel, count(*) AS weight FROM bo GROUP BY 1, 2, 3"""
+
+    kg_edges_canon_sql = f"""
+{kg_mentions_cte},
+mc AS (
+  SELECT DISTINCT doc_id, {_canon_case_sql('e')} AS e FROM m
+),
+pr AS (
+  SELECT a.doc_id,
+         printf('prod-%06d', a.e) AS ea, printf('prod-%06d', b.e) AS eb,
+         CASE WHEN {cat_a} = {cat_b} THEN 'complemented_by'
+              ELSE 'worn_with' END AS rel
+  FROM mc a JOIN mc b ON a.doc_id = b.doc_id AND a.e < b.e
 ),
 bo AS (
   SELECT ea AS src, eb AS dst, rel FROM pr
@@ -1017,6 +1083,8 @@ LEFT JOIN (SELECT doc_id, v FROM s_pattern WHERE rn = 1) a3 USING (doc_id)"""),
         "kg_mentions": kg_mentions_cte + """
 SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges": kg_edges_sql,
+        "kg_edges_canonical": kg_edges_canon_sql,
+        "canonical_map": _canonical_map_values_sql(),
         "media_frame_sample": """
 SELECT printf('doc-%d', doc_id) AS media_id, f AS frame_idx
 FROM documents, (VALUES (0), (10), (20)) AS t(f)

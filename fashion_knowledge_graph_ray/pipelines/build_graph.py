@@ -182,10 +182,24 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
                 link_mode: str = "embedding",
                 single_product_mode: bool = False,
                 dedup: bool = True,
+                canonicalize: bool = False,
                 concurrency=None) -> GraphBuildResult:
-    """Run the full KG build, writing Parquet tables under ``out_dir``."""
+    """Run the full KG build, writing Parquet tables under ``out_dir``.
+
+    ``canonicalize=True`` inserts the MinHash-LSH canonicalization pass
+    (north-rule stage): the taxonomy's surface-form clusters collapse to
+    canonical entity ids, and every downstream table (pairs, edges, nodes,
+    triples) is built over the canonical ids.
+
+    Execution shape: the expensive extract->detect->attrs->link chain runs
+    ONCE into an in-memory materialization; pairs derive from it in-memory;
+    then FIVE independent branches consume the materialized blocks
+    concurrently — the two parquet checkpoints (``linked/``, ``pairs/``,
+    the per-partition resume artifacts) plus edges/nodes/triples. Earlier
+    rounds wrote linked/pairs to parquet and re-read them before fan-out;
+    that extra parquet round-trip was a measured slice of the 8->32-CPU
+    scaling loss (BASELINE.md history)."""
     import ray
-    import ray.data as rd
 
     tax_ref = ray.put(taxonomy) if ray.is_initialized() else taxonomy
 
@@ -200,49 +214,53 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
     linked = build_linked(pages_ds, tax_ref, link_mode=link_mode,
                           single_product_mode=single_product_mode,
                           dedup=dedup, concurrency=concurrency)
-    linked.write_parquet(paths["linked"])
-    _ensure_nonempty(paths["linked"], _LINKED_SCHEMA)
-    linked = rd.read_parquet(paths["linked"])
+    if canonicalize:
+        from ..stages.canonicalize import (
+            apply_canonical_map,
+            canonicalize_taxonomy,
+        )
 
-    pairs = generate_pairs(linked, tax_ref)
-    pairs.write_parquet(paths["pairs"])
-    _ensure_nonempty(paths["pairs"], _PAIRS_EMPTY)
-    pairs = rd.read_parquet(paths["pairs"])
+        cmap = canonicalize_taxonomy(taxonomy)
+        linked = apply_canonical_map(linked, cmap)
+    linked = linked.materialize()
+    pairs = generate_pairs(linked, tax_ref).materialize()
 
-    # The three final branches are independent consumers of the linked/
-    # pairs checkpoints — run them CONCURRENTLY (one driver thread each, the
-    # streaming executor interleaves them across the cluster) instead of
-    # paying three sequential pipeline startups + barriers.
-    # each branch reads its own Dataset handle: a Dataset object must not be
-    # executed concurrently from two threads
+    # Plans for all five branches are BUILT on the driver thread (Dataset
+    # plan construction is not guaranteed thread-safe); the threads below
+    # only execute them. Each branch reads shared immutable block refs.
+    edges_ds = aggregate_edges(pairs)
+    nodes_ds = merge_nodes(explode_mentions(linked))
+    triples_ds = dedup_triples(
+        emit_attr_triples(explode_mentions(linked))
+        .union(emit_rel_triples(pairs)))
+
+    def _linked_ckpt():
+        linked.write_parquet(paths["linked"])
+        _ensure_nonempty(paths["linked"], _LINKED_SCHEMA)
+
+    def _pairs_ckpt():
+        pairs.write_parquet(paths["pairs"])
+        _ensure_nonempty(paths["pairs"], _PAIRS_EMPTY)
+
     def _edges():
-        edges = aggregate_edges(
-            rd.read_parquet(paths["pairs"], partitioning=None))
-        edges.write_parquet(paths["edges"])
+        edges_ds.write_parquet(paths["edges"])
         _ensure_nonempty(paths["edges"], _EDGES_OUT_SCHEMA)
 
     def _nodes():
-        nodes = merge_nodes(explode_mentions(
-            rd.read_parquet(paths["linked"], partitioning=None)))
-        nodes.write_parquet(paths["nodes"])
+        nodes_ds.write_parquet(paths["nodes"])
         _ensure_nonempty(paths["nodes"], NODES_SCHEMA)
 
     def _triples():
-        triples = dedup_triples(
-            emit_attr_triples(explode_mentions(
-                rd.read_parquet(paths["linked"], partitioning=None)))
-            .union(emit_rel_triples(
-                rd.read_parquet(paths["pairs"], partitioning=None)))
-        )
-        triples.write_parquet(paths["triples"])
+        triples_ds.write_parquet(paths["triples"])
         _ensure_nonempty(paths["triples"], TRIPLES_SCHEMA)
 
     import concurrent.futures as cf
 
     _settle_fsspec_http()
 
-    with cf.ThreadPoolExecutor(max_workers=3) as ex:
-        futs = [ex.submit(f) for f in (_edges, _nodes, _triples)]
+    with cf.ThreadPoolExecutor(max_workers=5) as ex:
+        futs = [ex.submit(f) for f in (_edges, _nodes, _triples,
+                                       _linked_ckpt, _pairs_ckpt)]
         for f in futs:
             f.result()
 

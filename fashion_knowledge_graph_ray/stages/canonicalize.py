@@ -529,18 +529,12 @@ def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 12,
     return labels.map_batches(rename, batch_format="pyarrow")
 
 
-def canonicalize_taxonomy(taxonomy: pa.Table, *, threshold: float =
-                          _JACCARD_THRESHOLD) -> dict[str, str]:
-    """entity_id -> canonical_entity_id by clustering ALL surface forms
-    (primary + aliases). Driver-side convenience for taxonomy-sized inputs
-    (the Dataset path composes lsh_band_rows/candidate_pairs/
-    connected_components directly for web-scale form corpora).
+def _taxonomy_forms(taxonomy: pa.Table) -> list[tuple[str, str, str]]:
+    """(form_id, surface_text, entity_id) for every surface form.
 
-    Node id = ``"{form}\\x1f{entity_id}"`` so identical forms owned by
+    Form id = ``"{form}\\x1f{entity_id}"`` so identical forms owned by
     different entities also cluster (exact duplicates are near-duplicates).
-    Canonical id = lexicographic min entity_id in the cluster."""
-    import ray.data as rd
-
+    """
     forms = []
     for eid, surface, aliases in zip(taxonomy["entity_id"].to_pylist(),
                                      taxonomy["surface"].to_pylist(),
@@ -548,15 +542,14 @@ def canonicalize_taxonomy(taxonomy: pa.Table, *, threshold: float =
         forms.append((f"{surface}\x1f{eid}", surface, eid))
         for a in aliases or []:
             forms.append((f"{a}\x1f{eid}", a, eid))
-    nodes = pa.table({"id": [f[0] for f in forms],
-                      "text": [f[1] for f in forms]})
-    ds = rd.from_arrow(nodes)
-    bands = lsh_band_rows(ds, "text", "id")
-    pairs = candidate_pairs(bands, ds, threshold=threshold)
-    comp = connected_components(pairs, ds.select_columns(["id"]))
-    comp_map = {r["id"]: r["component"] for r in comp.take_all()}
-    # entity -> min entity over its forms' components
-    owner = {fid: eid for fid, _, eid in forms}
+    return forms
+
+
+def _entity_map_from_components(forms, comp_map: dict[str, str]
+                                ) -> dict[str, str]:
+    """Cluster components -> entity_id remap: canonical = lexicographic
+    min entity_id over the cluster; an entity with forms in several
+    clusters takes the min over all of them."""
     cluster_min: dict[str, str] = {}
     for fid, _, eid in forms:
         c = comp_map.get(fid, fid)
@@ -567,6 +560,92 @@ def canonicalize_taxonomy(taxonomy: pa.Table, *, threshold: float =
         cand = cluster_min[c]
         out[eid] = min(out.get(eid, cand), cand)
     return out
+
+
+def canonicalize_taxonomy(taxonomy: pa.Table, *, threshold: float =
+                          _JACCARD_THRESHOLD) -> dict[str, str]:
+    """entity_id -> canonical_entity_id by clustering ALL surface forms
+    (primary + aliases). Driver-side convenience for taxonomy-sized inputs
+    (the Dataset path composes lsh_band_rows/candidate_pairs/
+    connected_components directly for web-scale form corpora).
+
+    Canonical id = lexicographic min entity_id in the cluster."""
+    import ray.data as rd
+
+    forms = _taxonomy_forms(taxonomy)
+    nodes = pa.table({"id": [f[0] for f in forms],
+                      "text": [f[1] for f in forms]})
+    ds = rd.from_arrow(nodes)
+    bands = lsh_band_rows(ds, "text", "id")
+    pairs = candidate_pairs(bands, ds, threshold=threshold)
+    comp = connected_components(pairs, ds.select_columns(["id"]))
+    comp_map = {r["id"]: r["component"] for r in comp.take_all()}
+    return _entity_map_from_components(forms, comp_map)
+
+
+def canonical_map_pure(taxonomy: pa.Table, *, threshold: float =
+                       _JACCARD_THRESHOLD,
+                       max_bucket_size: int = 2000) -> dict[str, str]:
+    """Pure-Python (no Ray) reimplementation of ``canonicalize_taxonomy``:
+    same minhash signatures, same 32x2 banding, same bucket truncation,
+    same exact-Jaccard verification and min-label union-find — a
+    distribution-independent reference used (a) by the conformance test
+    asserting the Ray path computes the identical map and (b) to embed the
+    canonical remap into the DuckDB oracle for the canonicalized KG-edges
+    query."""
+    from itertools import combinations
+
+    forms = _taxonomy_forms(taxonomy)
+    rows_per_band = _NUM_PERM // _BANDS
+    buckets: dict[str, set[str]] = {}
+    texts: dict[str, str] = {}
+    for fid, text, _eid in forms:
+        texts[fid] = text
+        sig = minhash_signature(text or "")
+        for b in range(_BANDS):
+            seg = sig[b * rows_per_band:(b + 1) * rows_per_band]
+            key = f"{b}:{zlib.crc32(seg.tobytes())}"
+            buckets.setdefault(key, set()).add(fid)
+    cand: set[tuple[str, str]] = set()
+    for key in sorted(buckets):
+        members = sorted(buckets[key])[:max_bucket_size]
+        cand.update(combinations(members, 2))
+    sh: dict[str, np.ndarray] = {}
+
+    def get(i: str) -> np.ndarray:
+        if i not in sh:
+            sh[i] = _shingle_hashes(texts.get(i, ""), _SHINGLE_K)
+        return sh[i]
+
+    verified = []
+    for a, b in sorted(cand):
+        sa, sb = get(a), get(b)
+        la, lb = len(sa), len(sb)
+        if la == 0 and lb == 0:
+            verified.append((a, b))
+            continue
+        if min(la, lb) < threshold * max(la, lb):
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        if inter / (la + lb - inter) >= threshold:
+            verified.append((a, b))
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in sorted((min(a, b), max(a, b)) for a, b in verified):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    comp_map = {x: find(x) for x in list(parent)}
+    return _entity_map_from_components(forms, comp_map)
 
 
 def apply_canonical_map(linked_ds, canonical_map: dict[str, str]):

@@ -57,6 +57,21 @@ def test_canonicalize_merges_near_dups_only(ray_session):
     assert m["prod-1"] == "prod-1"
 
 
+def test_pure_map_equals_distributed_map(ray_session):
+    # canonical_map_pure is the no-Ray reference implementation backing
+    # the DuckDB oracle; the distributed path must compute the SAME map
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        canonical_map_pure,
+    )
+
+    tax = gen_taxonomy(42)
+    pure = canonical_map_pure(tax)
+    dist = canonicalize_taxonomy(tax)
+    assert pure == dist
+    assert any(k != v for k, v in pure.items())  # real merges exist
+
+
 def test_distributed_cc_long_chain_pointer_jumping(ray_session):
     # Chain of 40 nodes (diameter 39): one-hop-per-round propagation would
     # need 39 rounds; pointer jumping must converge well within
