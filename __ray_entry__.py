@@ -600,6 +600,73 @@ def _q_kg_edges_canonical(sf_dir: str):
 
 # rows-only (not SQL-expressible):
 
+def _q_preprocess_catalog_parts(sf_dir: str):
+    # §3.4 composed catalog ETL (data_preprocessing.py:106-128) over the
+    # part table: brand filter (M1) -> anti-join vs the existing catalog
+    # (M2, auto-routed) -> seeded per-brand sample of 10 (G6) ->
+    # project/rename (M5) -> union-upsert, base wins (K1+G7).
+    from fashion_knowledge_graph_ray.pipelines.preprocess import (
+        preprocess_catalog,
+    )
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        keep = t.filter(pa.array(
+            t["p_partkey"].to_numpy(zero_copy_only=False) % 3 == 0))
+        return pa.table({"product_id": keep["p_partkey"],
+                         "category": keep["p_type"]})
+
+    new = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    base = _read(sf_dir, "part", ["p_partkey", "p_type"]).map_batches(
+        base_rows, batch_format="pyarrow", zero_copy_batch=True)
+    out = preprocess_catalog(
+        new, base, key_col="p_partkey", category_col="p_brand",
+        include_categories=["Brand#11", "Brand#22", "Brand#33"],
+        sample_n=10,
+        rename={"p_partkey": "product_id", "p_type": "category"},
+        num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["product_id", "category", "src"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_label_value_counts_events(sf_dir: str):
+    # G9 metrics stage: categorical value counts (label histogram analog)
+    from fashion_knowledge_graph_ray.stages.metrics import value_counts
+
+    ev = _read(sf_dir, "events", ["event_type"])
+    return value_counts(ev, "event_type", num_buckets=8)
+
+
+def _q_outfit_text(sf_dir: str):
+    # dual-profile RRF text search over the PERSISTED embeddings table
+    # (K2 + T3 + M10 + G5); hash-embedding ranks are not SQL-expressible
+    # -> rows-only
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.pipelines.query import outfit_from_text
+
+    res = _build_kg(sf_dir, "gazetteer")
+    emb = pq.read_table(res.embeddings_path)
+    return outfit_from_text("a crimson silk blouse for party looks", emb,
+                            top_k=10)
+
+
+def _q_outfit_page(sf_dir: str):
+    # style-match-by-page: the get_outfit_from_image analog driving the
+    # same detect/attrs/match operators at query time -> rows-only
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.pipelines.query import outfit_from_page
+
+    res = _build_kg(sf_dir, "gazetteer")
+    emb = pq.read_table(res.embeddings_path)
+    tax = gen_taxonomy(42)
+    html = (b"<html><body><p>Street style: a black blouse worn with "
+            b"faded jeans and white sneakers.</p></body></html>")
+    return outfit_from_page(html, tax, emb, top_k=5, threshold=0.7)
+
+
 def _q_kg_triples_embedding(sf_dir: str):
     res = _build_kg(sf_dir, "embedding")
     return res.dataset("triples")
@@ -700,7 +767,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges_canonical": _q_kg_edges_canonical,
         "canonical_map": _q_canonical_map,
         "media_frame_sample": _q_media_frame_sample,
+        "preprocess_catalog_parts": _q_preprocess_catalog_parts,
+        "label_value_counts_events": _q_label_value_counts_events,
         # rows-only checks:
+        "outfit_text": _q_outfit_text,
+        "outfit_page": _q_outfit_page,
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
         "kg_triples_embedding": _q_kg_triples_embedding,
@@ -1089,4 +1160,31 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
 SELECT printf('doc-%d', doc_id) AS media_id, f AS frame_idx
 FROM documents, (VALUES (0), (10), (20)) AS t(f)
 WHERE doc_id % 3 = 2""",
+        "preprocess_catalog_parts": """
+WITH base AS (
+  SELECT p_partkey AS product_id, p_type AS category
+  FROM part WHERE p_partkey % 3 = 0
+),
+fresh AS (
+  SELECT p_partkey, p_brand, p_type FROM part
+  WHERE p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+    AND p_partkey NOT IN (SELECT product_id FROM base)
+),
+samp AS (
+  SELECT * FROM fresh
+  QUALIFY row_number() OVER (
+    PARTITION BY p_brand
+    ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey) <= 10
+),
+u AS (
+  SELECT product_id, category, 0 AS prio FROM base
+  UNION ALL
+  SELECT p_partkey, p_type, 1 FROM samp
+)
+SELECT product_id, category,
+       CASE WHEN prio = 0 THEN 'base' ELSE 'new' END AS src
+FROM u QUALIFY row_number() OVER (PARTITION BY product_id
+                                  ORDER BY prio) = 1""",
+        "label_value_counts_events": """
+SELECT event_type AS value, count(*) AS n FROM events GROUP BY 1""",
     }

@@ -67,3 +67,38 @@ def cosine_topk(queries: np.ndarray, index: np.ndarray, k: int,
 def cosine_sim_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise cosine of two equal-shape (k, d) matrices (both normalized)."""
     return np.einsum("ij,ij->i", a, b)
+
+
+def euclidean_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise L2 distance of two equal-shape (k, d) matrices (F2,
+    `/root/reference/src/utils/tools.py:25-26` — scalar there, batched
+    here; never call per row in a hot stage)."""
+    d = np.asarray(a, dtype=np.float64) - np.asarray(b, dtype=np.float64)
+    return np.sqrt(np.einsum("ij,ij->i", d, d))
+
+
+STYLE_DIM = 384
+_STYLE_SEED = np.uint32(0x5EED)
+
+
+def style_embed(texts, dim: int = STYLE_DIM) -> np.ndarray:
+    """Second embedding profile (T3): the analog of the reference's 384-d
+    SBERT style encoder (`/root/reference/src/models/embedding_model.py:200-291`),
+    kept deliberately DIFFERENT from ``hash_embed``: word-level unigrams +
+    bigrams (style sentences are word-structured), a distinct hash seed,
+    and 384 dims — so the two retrieval paths of the dual-profile search
+    rank differently, as the reference's CLIP-vs-SBERT paths do."""
+    out = np.zeros((len(texts), dim), dtype=np.float32)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        ws = t.lower().split()
+        feats = ws + [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        row = out[i]
+        for g in feats:
+            h = zlib.crc32(g.encode("utf-8"), int(_STYLE_SEED))
+            sign = 1.0 if h & 0x80000000 else -1.0
+            row[h % dim] += sign
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
+    return out

@@ -113,6 +113,43 @@ _EDGES_OUT_SCHEMA = pa.schema(
 )
 
 
+EMBEDDINGS_SCHEMA = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("surface", pa.string()),
+        ("category", pa.string()),
+        ("embedding", pa.list_(pa.float32())),
+        ("style_embedding", pa.list_(pa.float32())),
+    ]
+)
+
+
+def taxonomy_embeddings_table(taxonomy: pa.Table) -> pa.Table:
+    """The K2 analog of the reference's per-item vector upserts
+    (`/root/reference/src/engine/process_catalog.py:52-77`,
+    `src/database/vector_database.py:72-125`): one row per taxonomy entity
+    with BOTH embedding profiles (primary 256-d + style 384-d), persisted
+    as a parquet table so the query layer loads the index instead of
+    re-embedding per call."""
+    from ..functions.vectors import hash_embed, style_embed
+
+    surfaces = taxonomy["surface"].to_pylist()
+    emb = hash_embed(surfaces)
+    semb = style_embed(surfaces)
+    return pa.table(
+        {
+            "entity_id": taxonomy["entity_id"],
+            "surface": taxonomy["surface"],
+            "category": taxonomy["category"],
+            "embedding": pa.array([v.tolist() for v in emb],
+                                  type=pa.list_(pa.float32())),
+            "style_embedding": pa.array([v.tolist() for v in semb],
+                                        type=pa.list_(pa.float32())),
+        },
+        schema=EMBEDDINGS_SCHEMA,
+    )
+
+
 @dataclass
 class GraphBuildResult:
     out_dir: str
@@ -121,6 +158,7 @@ class GraphBuildResult:
     triples_path: str
     nodes_path: str
     edges_path: str
+    embeddings_path: str = ""
 
     def dataset(self, which: str):
         import ray.data as rd
@@ -204,7 +242,8 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
     tax_ref = ray.put(taxonomy) if ray.is_initialized() else taxonomy
 
     paths = {k: os.path.join(out_dir, k)
-             for k in ("linked", "pairs", "triples", "nodes", "edges")}
+             for k in ("linked", "pairs", "triples", "nodes", "edges",
+                       "embeddings")}
     # Outputs must be overwrite-semantics: Ray's write_parquet APPENDS part
     # files into an existing directory, which would double-count on re-run —
     # the exact reference bug (SURVEY.md §4.4) this pipeline exists to fix.
@@ -254,13 +293,22 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
         triples_ds.write_parquet(paths["triples"])
         _ensure_nonempty(paths["triples"], TRIPLES_SCHEMA)
 
+    def _embeddings():
+        # taxonomy-sized (small side) — a single driver-side table write
+        import pyarrow.parquet as pq
+
+        os.makedirs(paths["embeddings"], exist_ok=True)
+        pq.write_table(taxonomy_embeddings_table(taxonomy),
+                       os.path.join(paths["embeddings"], "part-0.parquet"))
+
     import concurrent.futures as cf
 
     _settle_fsspec_http()
 
-    with cf.ThreadPoolExecutor(max_workers=5) as ex:
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
         futs = [ex.submit(f) for f in (_edges, _nodes, _triples,
-                                       _linked_ckpt, _pairs_ckpt)]
+                                       _linked_ckpt, _pairs_ckpt,
+                                       _embeddings)]
         for f in futs:
             f.result()
 
@@ -268,4 +316,5 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
                             pairs_path=paths["pairs"],
                             triples_path=paths["triples"],
                             nodes_path=paths["nodes"],
-                            edges_path=paths["edges"])
+                            edges_path=paths["edges"],
+                            embeddings_path=paths["embeddings"])

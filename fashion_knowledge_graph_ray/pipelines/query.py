@@ -135,6 +135,118 @@ def text_vector_search(query: str, taxonomy: pa.Table, *, top_k: int = 10,
     )
 
 
+def style_query_rewrite(query: str) -> str:
+    """M10 query-text style rewrite
+    (`/root/reference/src/models/attribute_extraction_model.py:172-221`):
+    the reference asks an LLM to rewrite a free-text search query into
+    style-description phrasing; the deterministic analog extracts the
+    closed-vocab attributes from the query text and serializes them with
+    the SAME canonical style-sentence rule used for mentions (M9), falling
+    back to the whitespace-normalized lowercase query when the query
+    contains no vocabulary signal (the reference returns the raw query on
+    LLM failure)."""
+    from ..stages.attributes import extract_attrs, style_sentence
+
+    attrs = extract_attrs(query)
+    sent = style_sentence(attrs)
+    if sent and sent != "piece":
+        return sent
+    return " ".join((query or "").lower().split())
+
+
+def _matrix(tbl: pa.Table, col: str) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float32)
+                     for v in tbl[col].to_pylist()])
+
+
+def outfit_from_text(query: str, embeddings_tbl: pa.Table, *,
+                     top_k: int = 10, tau_primary: float = 0.2,
+                     tau_style: float = 0.5, k0: int = RRF_K0) -> pa.Table:
+    """Dual-profile style-match-by-text (recommender.py:327-510): path 1
+    embeds the raw query with the primary profile against the ``embedding``
+    index (CLIP-path analog, τ=0.2); path 2 rewrites the query (M10) and
+    embeds with the style profile against ``style_embedding`` (SBERT-path
+    analog, τ=0.5); the two ranked lists fuse with RRF (k0=60) and cut to
+    ``top_k``. Consumes the PERSISTED embeddings table written by
+    ``build_graph`` — no re-embedding of the taxonomy per query (the K2
+    round-1 gap)."""
+    from ..functions.vectors import cosine_topk, hash_embed, style_embed
+
+    ids = np.asarray(embeddings_tbl["entity_id"].to_pylist())
+
+    def ranked(qvec: np.ndarray, index: np.ndarray, tau: float) -> list[str]:
+        scores, idx = cosine_topk(qvec, index, top_k)
+        keep = scores[0] >= tau
+        return [str(e) for e in ids[idx[0][keep]]]
+
+    primary = ranked(hash_embed([query]),
+                     _matrix(embeddings_tbl, "embedding"), tau_primary)
+    style = ranked(style_embed([style_query_rewrite(query)]),
+                   _matrix(embeddings_tbl, "style_embedding"), tau_style)
+    fused = rrf_scores([primary, style], k0=k0)[:top_k]
+    return pa.table({
+        "entity_id": pa.array([e for e, _ in fused], type=pa.string()),
+        "rrf_score": pa.array([s for _, s in fused], type=pa.float64()),
+    })
+
+
+def outfit_from_page(html: bytes | str, taxonomy: pa.Table,
+                     embeddings_tbl: pa.Table, *, top_k: int = 5,
+                     threshold: float = 0.7) -> pa.Table:
+    """Style-match-by-page (recommender.py:204-325 ``get_outfit_from_image``
+    re-expressed over web text): run the SAME per-page operators the build
+    pipeline uses — extract_text (M13), gazetteer/trie mention scan (M6),
+    closed-vocab attrs (M8) — then match each mention's surface against the
+    persisted embedding index with the reference's top-k + threshold
+    semantics (τ=0.7, recommender.py:253-321). Returns one row per
+    (mention, match): (mention_id, surface, label, entity_id, rank, score).
+    """
+    from ..functions.html import extract_text
+    from ..functions.vectors import cosine_topk, hash_embed
+    from ..stages.attributes import extract_attrs
+    from ..stages.mentions import (
+        build_gazetteer,
+        compile_pattern,
+        detect_in_text,
+    )
+
+    text = extract_text(html)
+    gaz = build_gazetteer(taxonomy)
+    pat = compile_pattern(list(gaz))
+    mentions = detect_in_text(text, "query://page", pat, gaz)
+    ids = np.asarray(embeddings_tbl["entity_id"].to_pylist())
+    index = _matrix(embeddings_tbl, "embedding")
+    cats = np.asarray(embeddings_tbl["category"].to_pylist())
+
+    m_id, m_surf, m_lab, e_out, r_out, s_out = [], [], [], [], [], []
+    for rec in mentions:
+        attrs = extract_attrs(rec.get("context", ""), rec.get("label"))
+        q = hash_embed([rec["surface"]])
+        # reference metadata filter: candidate type == detected label
+        mask = (cats == attrs["type"])[None, :] if attrs.get("type") \
+            else None
+        scores, idx = cosine_topk(q, index, top_k, mask=mask)
+        rank = 0
+        for s, j in zip(scores[0], idx[0]):
+            if not np.isfinite(s) or s < threshold:
+                continue
+            rank += 1
+            m_id.append(rec["mention_id"])
+            m_surf.append(rec["surface"])
+            m_lab.append(rec.get("label"))
+            e_out.append(str(ids[j]))
+            r_out.append(rank)
+            s_out.append(float(s))
+    return pa.table({
+        "mention_id": pa.array(m_id, type=pa.string()),
+        "surface": pa.array(m_surf, type=pa.string()),
+        "label": pa.array(m_lab, type=pa.string()),
+        "entity_id": pa.array(e_out, type=pa.string()),
+        "rank": pa.array(r_out, type=pa.int64()),
+        "score": pa.array(s_out, type=pa.float64()),
+    })
+
+
 def node_properties(nodes_ds, entity_id: str) -> dict | None:
     """Point lookup (J5, graph_database.py:357-398).
 

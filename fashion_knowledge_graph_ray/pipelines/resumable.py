@@ -122,6 +122,8 @@ def _build_partition(files: list[str], part: int, taxonomy_ref, out_dir: str,
     _ensure_nonempty(pairs_dir + ".tmp", PAIRS_SCHEMA)
     os.replace(pairs_dir + ".tmp", pairs_dir)
 
+    from ..stages.metrics import mention_label_counts
+
     m = PartitionManifest(
         part=part,
         inputs=describe_inputs(files),
@@ -132,6 +134,9 @@ def _build_partition(files: list[str], part: int, taxonomy_ref, out_dir: str,
         wall_sec=round(time.time() - t0, 3),
         engine_version=__version__,
         run_id=run_id,
+        # G9: per-partition mention-label histogram (segmentation mask
+        # stats analog, segmentation_model.py:173-206)
+        extra={"label_counts": mention_label_counts(linked_dir)},
     )
     write_manifest(out_dir, m)
     return m
@@ -204,7 +209,12 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
     _ensure_nonempty(paths["triples"], TRIPLES_SCHEMA)
 
     built = [m for m in manifests if m.run_id == run_id]
+    label_counts: dict[str, int] = {}
+    for m in manifests:
+        for k, v in (m.extra.get("label_counts") or {}).items():
+            label_counts[k] = label_counts.get(k, 0) + v
     metrics = {
+        "label_counts": dict(sorted(label_counts.items())),
         "run_id": run_id,
         "partitions": len(parts),
         "partitions_skipped": skipped,

@@ -109,7 +109,9 @@ def merge_edge_counts(t: pa.Table) -> pa.Table:
 
 def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64,
                     collect_evidence: bool = True,
-                    bucket_keys: list[str] | None = None):
+                    bucket_keys: list[str] | None = None,
+                    properties: dict | None = None,
+                    source: str | None = None):
     """pairs -> edges: partial combine per batch, then ONE bucketed shuffle
     over the (much smaller) partials with a vectorized per-bucket merge.
 
@@ -118,12 +120,36 @@ def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64,
     consumer only needs weights (measured ~2x on the sf0.1 co-occurrence
     query). ``bucket_keys`` may widen co-location (e.g. ``["src"]`` so a
     downstream per-src top-k can run in the SAME bucket task without a
-    second shuffle — any prefix of (src,dst,rel) preserves key grouping)."""
+    second shuffle — any prefix of (src,dst,rel) preserves key grouping).
+
+    ``properties`` / ``source``: caller-supplied edge properties merged
+    into every edge row as constant columns — the reference merges a
+    free-form ``metadata`` dict plus a ``source`` tag into edge properties
+    (`/root/reference/src/engine/process_social_media_images.py:133-134,
+    179`). Keys colliding with computed columns are rejected."""
     keys = bucket_keys or EDGE_KEYS
     if collect_evidence:
         partial_fn, merge_fn = partial_edge_agg, _merge_edges_bucket
     else:
         partial_fn, merge_fn = partial_edge_count, merge_edge_counts
+    extra = dict(properties or {})
+    if source is not None:
+        extra["source"] = source
+    reserved = set(EDGE_KEYS) | {"weight", "pages", "evidence_truncated"}
+    bad = reserved & set(extra)
+    if bad:
+        raise ValueError(f"edge property names collide with computed "
+                         f"columns: {sorted(bad)}")
+    if extra:
+        inner = merge_fn
+
+        def merge_fn(t: pa.Table) -> pa.Table:
+            out = inner(t)
+            for k in sorted(extra):
+                out = out.append_column(
+                    k, pa.array([extra[k]] * out.num_rows))
+            return out
+
     partials = pairs_ds.map_batches(
         partial_fn, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,

@@ -80,6 +80,15 @@ def test_partitioned_matches_monolithic(ray_session, sharded_pages, tmp_path):
     assert metrics["partitions"] == N_PARTS
     assert metrics["partitions_built"] == N_PARTS
     assert metrics["triples_rows"] == got["triples"].num_rows
+    # G9: the aggregated mention-label histogram equals a direct count
+    # over the linked output's mention structs
+    lc = metrics["label_counts"]
+    linked = pq.read_table(os.path.join(out_p, "linked"))
+    want_lc: dict[str, int] = {}
+    for recs in linked["mentions"].to_pylist():
+        for r in recs or []:
+            want_lc[r["label"]] = want_lc.get(r["label"], 0) + 1
+    assert lc == dict(sorted(want_lc.items())) and sum(lc.values()) > 0
 
 
 def test_resume_skips_valid_and_recomputes_killed(ray_session, sharded_pages,
