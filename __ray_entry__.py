@@ -304,6 +304,21 @@ def _q_filter_project_events(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_valid_docs(sf_dir: str):
+    # M4 existence/validity filter: non-null text of at least 200 chars
+    import pyarrow.compute as pc
+
+    from fashion_knowledge_graph_ray.stages.relational import filter_valid
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = filter_valid(docs, "text", min_len=200)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"],
+                            "n_chars": pc.utf8_length(t["text"])
+                            .cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_grouped_sample_docs(sf_dir: str):
     # G6: deterministic per-group sample (md5 order = the seed)
     from fashion_knowledge_graph_ray.stages.relational import grouped_sample
@@ -691,7 +706,7 @@ def _q_lsh_ann_topk(sf_dir: str):
 
     qids, qm = _embedding_queries(sf_dir)
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
-    return lsh_bucketed_topk(emb, qm, 10, query_ids=qids, nbits=6, probes=2,
+    return lsh_bucketed_topk(emb, qm, 10, query_ids=qids, nbits=6, probes=8,
                              num_buckets=4)
 
 
@@ -743,6 +758,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "node_merge_lww": _q_node_merge_lww,
         "anti_join_customers": _q_anti_join_customers,
         "filter_project_events": _q_filter_project_events,
+        "valid_docs": _q_valid_docs,
         "grouped_sample_docs": _q_grouped_sample_docs,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_count_docs": _q_token_count_docs,
@@ -1017,6 +1033,9 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
         "filter_project_events": """
 SELECT event_id, user_id, event_type, value FROM events
 WHERE event_type IN ('click', 'purchase')""",
+        "valid_docs": """
+SELECT doc_id, length(text) AS n_chars FROM documents
+WHERE text IS NOT NULL AND length(text) >= 200""",
         "grouped_sample_docs": """
 SELECT doc_id, lang FROM documents
 QUALIFY row_number() OVER (

@@ -30,6 +30,8 @@ QUERY_NAMES = [
     "quality_docs", "minhash_dedup_docs", "ann_topk",
     "tumbling_window_events", "session_window_events",
     "broadcast_join_lineitem", "jaccard_ngram_pairs_docs", "kg_edges",
+    "kg_edges_canonical", "preprocess_catalog_parts", "attr_extract_docs",
+    "anti_join_customers",
 ]
 
 
@@ -174,6 +176,40 @@ def scaling() -> None:
     }))
 
 
+def recall() -> None:
+    """recall@10 of the LSH-bucketed approximate ANN vs the exact
+    brute-force top-k, over the $GRAFT_SF_DIR embeddings table — the
+    quality number for the approximate path (recorded in BASELINE.md)."""
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = {}
+    for r in qs["ann_topk"](sf_dir).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in qs["lsh_ann_topk"](sf_dir).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recs = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+            for q in sorted(exact)]
+    print(json.dumps({
+        "metric": "lsh_ann_recall_at_10",
+        "value": round(sum(recs) / len(recs), 4),
+        "per_query": [round(x, 3) for x in recs],
+        "sf": sf_dir,
+    }))
+    ray.shutdown()
+
+
 def ensure_only() -> None:
     import ray
 
@@ -191,6 +227,8 @@ def ensure_only() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--recall" in sys.argv:
+        recall()
     elif "--ensure" in sys.argv:
         ensure_only()
     else:

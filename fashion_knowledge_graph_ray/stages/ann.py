@@ -105,12 +105,27 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int, *,
     qids = list(query_ids) if query_ids is not None else list(range(len(qm)))
     planes = _hyperplanes(qm.shape[1], nbits, seed)
     qb = _bucket_of(qm, planes)
+    # margin-ordered multiprobe: a neighbor most likely differs on the
+    # bits whose hyperplane margin |q . plane| is smallest, so probe the
+    # buckets reached by flipping the most UNCERTAIN bits first (subsets
+    # ordered by total flipped margin) — far better recall per probe than
+    # flipping fixed low bits.
+    margins = qm @ planes.T  # (q, nbits)
     probe_sets = []
-    for b in qb:
-        s = {int(b)}
-        for p in range(probes - 1):
-            s.add(int(b) ^ (1 << p))
-        probe_sets.append(s)
+    t = min(nbits, max(1, (max(probes - 1, 1)).bit_length() + 1))
+    for qi, b in enumerate(qb):
+        order = np.argsort(np.abs(margins[qi]))[:t]
+        subsets = []
+        for mask in range(1 << t):
+            flip = 0
+            loss = 0.0
+            for j in range(t):
+                if mask >> j & 1:
+                    flip |= 1 << int(order[j])
+                    loss += abs(float(margins[qi, order[j]]))
+            subsets.append((loss, int(b) ^ flip))
+        subsets.sort()
+        probe_sets.append({code for _, code in subsets[:probes]})
     ref = ray.put((qids, qm, probe_sets)) if ray.is_initialized() \
         else (qids, qm, probe_sets)
 

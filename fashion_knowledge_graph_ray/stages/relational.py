@@ -35,6 +35,23 @@ def filter_in(ds, col: str, values):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def filter_valid(ds, col: str, *, min_len: int = 1):
+    """M4 existence/validity filter
+    (`/root/reference/src/engine/data_preprocessing.py:61-64` file-exists
+    check, re-expressed as payload validity at web scale): keep rows whose
+    ``col`` is non-null and at least ``min_len`` characters (bytes for a
+    binary column)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        ln = (pc.binary_length(c) if pa.types.is_binary(c.type)
+              else pc.utf8_length(c))
+        ok = pc.and_kleene(c.is_valid(), pc.greater_equal(ln, min_len))
+        return t.filter(pc.fill_null(ok, False))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def anti_join_keys(ds, col: str, keys):
     """Drop rows whose ``col`` is in ``keys`` (broadcast hash anti-join —
     the small side travels once; no shuffle)."""

@@ -143,6 +143,24 @@ def test_preprocess_catalog_composition(ray_session):
     assert all(r["product_id"] in (1, 6, 3, 4) for r in new_rows)
 
 
+def test_filter_valid(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.relational import filter_valid
+
+    t = pa.table({"id": [1, 2, 3, 4],
+                  "text": ["long enough", None, "", "x"]})
+    out = [r["id"] for r in
+           filter_valid(rd.from_arrow(t), "text", min_len=2).take_all()]
+    assert out == [1]
+    # binary column path
+    tb = pa.table({"id": [1, 2], "html": pa.array([b"abc", b""],
+                                                  type=pa.binary())})
+    out = [r["id"] for r in
+           filter_valid(rd.from_arrow(tb), "html", min_len=1).take_all()]
+    assert out == [1]
+
+
 def test_value_counts(ray_session):
     import ray.data as rd
 
