@@ -359,6 +359,51 @@ def _q_lang_id_docs(sf_dir: str):
     return lang_id(docs)
 
 
+def _q_top_tokens_docs(sf_dir: str):
+    # the classic distributed word count: per-batch token-count partials
+    # (a hot token ships one int row per block), bucketed merge, global
+    # top-50 by (count DESC, token ASC)
+    from fashion_knowledge_graph_ray.functions.textstats import tokens
+    from fashion_knowledge_graph_ray.stages.bucketed import (
+        bucketed_group_apply,
+    )
+
+    docs = _read(sf_dir, "documents", ["text"], blocks=64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(tokens(x))
+        items = sorted(c.items())
+        return pa.table({"token": pa.array([k for k, _ in items],
+                                           type=pa.string()),
+                         "n": pa.array([v for _, v in items],
+                                       type=pa.int64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("n", "sum")])
+        return pa.table({"token": g["token"], "n": g["n_sum"]})
+
+    counts = bucketed_group_apply(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["token"], merge, num_buckets=16)
+
+    def local_top(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx[:50])
+
+    partial_top = counts.map_batches(local_top, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return partial_top.sort(["n", "token"],
+                            descending=[True, False]).limit(50)
+
+
 def _q_fingerprint_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.textstats import fingerprints
 
@@ -765,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": _q_quality_docs,
         "lang_id_docs": _q_lang_id_docs,
         "fingerprint_docs": _q_fingerprint_docs,
+        "top_tokens_docs": _q_top_tokens_docs,
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
         "near_dup_cosine": _q_near_dup_cosine,
@@ -1066,6 +1112,15 @@ SELECT doc_id,
        greatest(de, en, es, fr) AS marker_hits
 FROM c""",
         "fingerprint_docs": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "top_tokens_docs": r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+)
+SELECT u.tok AS token, count(*) AS n
+FROM t, unnest(t.toks) AS u(tok)
+GROUP BY 1 ORDER BY n DESC, token LIMIT 50""",
         "rrf_orders": """
 WITH r1 AS (
   SELECT CAST(o_orderkey AS VARCHAR) AS id,

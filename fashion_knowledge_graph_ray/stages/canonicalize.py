@@ -563,16 +563,23 @@ def _entity_map_from_components(forms, comp_map: dict[str, str]
 
 
 def canonicalize_taxonomy(taxonomy: pa.Table, *, threshold: float =
-                          _JACCARD_THRESHOLD) -> dict[str, str]:
+                          _JACCARD_THRESHOLD,
+                          max_driver_forms: int = 50_000) -> dict[str, str]:
     """entity_id -> canonical_entity_id by clustering ALL surface forms
-    (primary + aliases). Driver-side convenience for taxonomy-sized inputs
-    (the Dataset path composes lsh_band_rows/candidate_pairs/
-    connected_components directly for web-scale form corpora).
+    (primary + aliases). Canonical id = lexicographic min entity_id in the
+    cluster.
 
-    Canonical id = lexicographic min entity_id in the cluster."""
+    Two-regime routing (proven identical by the conformance test): a
+    taxonomy fitting ``max_driver_forms`` runs the pure in-process
+    implementation — the ~7 chained Dataset executions of the distributed
+    path cost ~2.5s of fixed pipeline startup that dwarfs the actual work
+    at catalog sizes. Larger form corpora take the Dataset path
+    (lsh_band_rows / candidate_pairs / connected_components)."""
     import ray.data as rd
 
     forms = _taxonomy_forms(taxonomy)
+    if len(forms) <= max_driver_forms:
+        return canonical_map_pure(taxonomy, threshold=threshold)
     nodes = pa.table({"id": [f[0] for f in forms],
                       "text": [f[1] for f in forms]})
     ds = rd.from_arrow(nodes)
@@ -650,27 +657,36 @@ def canonical_map_pure(taxonomy: pa.Table, *, threshold: float =
 
 def apply_canonical_map(linked_ds, canonical_map: dict[str, str]):
     """Rewrite entity ids in linked page-mentions via the broadcast map
-    (identity for unmapped ids)."""
+    (identity for unmapped ids). Vectorized flat-struct surgery: only the
+    non-identity entries ship, and the remap is one ``index_in`` + ``take``
+    + ``coalesce`` over the flattened mention structs — no per-row Python
+    (this stage sits INSIDE the hot linked chain when canonicalize=True)."""
+    import pyarrow.compute as pc
     import ray
 
-    ref = ray.put(canonical_map) if ray.is_initialized() else canonical_map
+    nonid = {k: v for k, v in canonical_map.items() if k != v}
+    if not nonid:
+        return linked_ds
+    keys = pa.array(sorted(nonid), type=pa.string())
+    vals_a = pa.array([nonid[k] for k in sorted(nonid)], type=pa.string())
+    ref = (ray.put((keys, vals_a)) if ray.is_initialized()
+           else (keys, vals_a))
 
     def remap(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref) if not isinstance(ref, dict) else ref
-        rows = batch["mentions"].to_pylist()
-        out = []
-        for recs in rows:
-            new = []
-            for r in recs or []:
-                r = dict(r)
-                e = r.get("entity_id")
-                if e is not None:
-                    r["entity_id"] = m.get(e, e)
-                new.append(r)
-            out.append(new)
-        arr = pa.array(out, type=batch.schema.field("mentions").type)
-        return batch.set_column(batch.schema.get_field_index("mentions"),
-                                "mentions", arr)
+        from .attributes import flat_mentions, rewrap_mentions
+
+        k, v = ray.get(ref) if not isinstance(ref, tuple) else ref
+        col, flat = flat_mentions(batch)
+        if len(flat) == 0:
+            return batch
+        ent = flat.field("entity_id")
+        idx = pc.index_in(ent, value_set=k)
+        new_ent = pc.coalesce(pc.take(v, idx), ent)
+        fields = list(flat.type)
+        arrays = [new_ent if f.name == "entity_id" else flat.field(f.name)
+                  for f in fields]
+        new_flat = pa.StructArray.from_arrays(arrays, fields=fields)
+        return rewrap_mentions(batch, col, new_flat)
 
     return linked_ds.map_batches(remap, batch_format="pyarrow",
                                  zero_copy_batch=True)

@@ -67,7 +67,9 @@ def test_pure_map_equals_distributed_map(ray_session):
 
     tax = gen_taxonomy(42)
     pure = canonical_map_pure(tax)
-    dist = canonicalize_taxonomy(tax)
+    # max_driver_forms=0 forces the DISTRIBUTED path (the small-taxonomy
+    # default would route to the pure path and compare pure to itself)
+    dist = canonicalize_taxonomy(tax, max_driver_forms=0)
     assert pure == dist
     assert any(k != v for k, v in pure.items())  # real merges exist
 
