@@ -509,6 +509,17 @@ def _q_tumbling_window_events(sf_dir: str):
                            value_col="value", width="h", num_buckets=16)
 
 
+def _q_hopping_window_events(sf_dir: str):
+    # overlapping 1h windows sliding every 15min per user (count + max);
+    # window starts as integer epoch seconds (timezone-free compare)
+    from fashion_knowledge_graph_ray.stages.windows import hopping_window
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    return hopping_window(ev, key_col="user_id", ts_col="ts",
+                          value_col="value", width_sec=3600, slide_sec=900,
+                          num_buckets=16)
+
+
 def _q_session_window_events(sf_dir: str):
     # gap-based session windows (30 min) per user
     from fashion_knowledge_graph_ray.stages.windows import session_windows
@@ -533,6 +544,21 @@ def _q_broadcast_join_lineitem(sf_dir: str):
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_partkey"])
     return broadcast_join(li, "l_partkey", lut, ["p_brand"], how="inner")
+
+
+def _q_shuffle_join_orders(sf_dir: str):
+    # large-large hash-shuffle equi-join (neither side broadcastable at
+    # scale): orders x customer on custkey
+    from fashion_knowledge_graph_ray.stages.relational import shuffle_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    out = shuffle_join(orders, cust, "o_custkey", "c_custkey",
+                       how="inner", num_buckets=16)
+    return out.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey", "c_name"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_union_upsert_docs(sf_dir: str):
@@ -746,6 +772,17 @@ def _q_simhash_pairs_docs(sf_dir: str):
     return simhash_pairs(docs, max_hamming=3, num_buckets=16)
 
 
+def _q_ivf_ann_topk(sf_dir: str):
+    # IVF (inverted-file) approximate ANN: seeded spherical-kmeans
+    # centroids + nprobe clusters per query -> rows-only (approximate)
+    from fashion_knowledge_graph_ray.stages.ann import ivf_topk
+
+    qids, qm = _embedding_queries(sf_dir)
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
+    return ivf_topk(emb, qm, 10, query_ids=qids, ncentroids=16, nprobe=4,
+                    num_buckets=4)
+
+
 def _q_lsh_ann_topk(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.ann import lsh_bucketed_topk
 
@@ -816,8 +853,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_cosine": _q_near_dup_cosine,
         "near_dup_cosine_lsh": _q_near_dup_cosine_lsh,
         "tumbling_window_events": _q_tumbling_window_events,
+        "hopping_window_events": _q_hopping_window_events,
         "session_window_events": _q_session_window_events,
         "broadcast_join_lineitem": _q_broadcast_join_lineitem,
+        "shuffle_join_orders": _q_shuffle_join_orders,
         "union_upsert_docs": _q_union_upsert_docs,
         "top1_per_order": _q_top1_per_order,
         "related_entities_topk": _q_related_entities_topk,
@@ -840,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
     }
 
 
@@ -1151,6 +1191,18 @@ FROM s QUALIFY rank <= 10""",
 SELECT user_id, date_trunc('hour', ts) AS window_start,
        count(*) AS n_events, max(value) AS max_value
 FROM events GROUP BY 1, 2""",
+        "hopping_window_events": """
+WITH e AS (
+  SELECT user_id, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM events
+),
+w AS (
+  SELECT user_id, value, (sec // 900 - k) * 900 AS ws_sec
+  FROM e, unnest([0, 1, 2, 3]) AS t(k)
+)
+SELECT user_id, ws_sec, count(*) AS n_events, max(value) AS max_value
+FROM w GROUP BY 1, 2""",
         "session_window_events": """
 WITH e AS (
   SELECT user_id, event_id, ts,
@@ -1171,6 +1223,9 @@ FROM s GROUP BY user_id, sess""",
 SELECT l_orderkey, l_linenumber, l_partkey, p_brand
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE p_size >= 30""",
+        "shuffle_join_orders": """
+SELECT o_orderkey, o_custkey, c_name
+FROM orders JOIN customer ON c_custkey = o_custkey""",
         "union_upsert_docs": """
 WITH u AS (
   SELECT doc_id, lang, 0 AS prio FROM documents WHERE doc_id % 2 = 0

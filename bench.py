@@ -196,17 +196,21 @@ def recall() -> None:
     exact = {}
     for r in qs["ann_topk"](sf_dir).take_all():
         exact.setdefault(r["query_id"], set()).add(r["vec_id"])
-    approx = {}
-    for r in qs["lsh_ann_topk"](sf_dir).take_all():
-        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
-    recs = [len(exact[q] & approx.get(q, set())) / len(exact[q])
-            for q in sorted(exact)]
-    print(json.dumps({
-        "metric": "lsh_ann_recall_at_10",
-        "value": round(sum(recs) / len(recs), 4),
-        "per_query": [round(x, 3) for x in recs],
-        "sf": sf_dir,
-    }))
+
+    def rec_of(qname: str) -> list[float]:
+        approx = {}
+        for r in qs[qname](sf_dir).take_all():
+            approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return [len(exact[q] & approx.get(q, set())) / len(exact[q])
+                for q in sorted(exact)]
+
+    out = {"metric": "ann_recall_at_10", "sf": sf_dir}
+    for qname, tag in (("lsh_ann_topk", "lsh"), ("ivf_ann_topk", "ivf")):
+        recs = rec_of(qname)
+        out[f"{tag}_recall"] = round(sum(recs) / len(recs), 4)
+        out[f"{tag}_per_query"] = [round(x, 3) for x in recs]
+    out["value"] = out["lsh_recall"]
+    print(json.dumps(out))
     ray.shutdown()
 
 

@@ -82,6 +82,102 @@ def brute_force_topk(ds, queries: np.ndarray, k: int, *,
                                 num_buckets=num_buckets)
 
 
+def _spherical_kmeans(sample: np.ndarray, ncentroids: int, *,
+                      iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Seeded spherical k-means over L2-normalized vectors (cosine
+    assignment). Deterministic: seeded init, fixed iteration count, empty
+    clusters re-seeded from the worst-assigned points in index order."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n = sample.shape[0]
+    k = min(ncentroids, n)
+    cent = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        sims = sample @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members) == 0:
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                cent[c] = sample[worst]
+                continue
+            m = members.sum(axis=0)
+            nrm = np.linalg.norm(m)
+            cent[c] = m / nrm if nrm > 0 else cent[c]
+    return cent
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int, *,
+             emb_col: str = "embedding", id_col: str = "vec_id",
+             query_ids: list | None = None, ncentroids: int = 16,
+             nprobe: int = 4, train_sample: int = 4096,
+             num_buckets: int = 16, seed: int = 42):
+    """Approximate cosine top-k via an IVF (inverted-file) index: centroids
+    trained once on a driver-side sample with seeded spherical k-means,
+    broadcast to every task; a vector is a candidate iff its nearest
+    centroid is among the query's ``nprobe`` closest centroids. Scan
+    fraction ≈ nprobe/ncentroids per query — the clustered-corpus scale
+    path alongside the hyperplane LSH variant. Same output schema as
+    ``brute_force_topk``."""
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids) if query_ids is not None else list(range(len(qm)))
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                                  for r in sample_rows]))
+    cent = _spherical_kmeans(sample, ncentroids, seed=seed)
+    q_probe = np.argsort(-(qm @ cent.T), axis=1)[:, :min(nprobe, len(cent))]
+    probe_sets = [set(row.tolist()) for row in q_probe]
+    ref = ray.put((qids, qm, cent, probe_sets)) if ray.is_initialized() \
+        else (qids, qm, cent, probe_sets)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qm_, cent_, probes_ = (ray.get(ref)
+                                      if not isinstance(ref, tuple) else ref)
+        ids = np.asarray(batch[id_col].to_pylist())
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in batch[emb_col].to_pylist()]))
+        vc = np.argmax(mat @ cent_.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids_)):
+            mask = np.isin(vc, list(probes_[qi]))
+            if not mask.any():
+                continue
+            cand_ids = ids[mask]
+            sims = mat[mask] @ qm_[qi]
+            kk = min(k, len(cand_ids))
+            order = np.lexsort((cand_ids, -sims))[:kk]
+            out_q.extend([qids_[qi]] * kk)
+            out_v.extend(cand_ids[order].tolist())
+            out_s.extend(sims[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, type=pa.int64()),
+                         "vec_id": pa.array(out_v, type=pa.int64()),
+                         "score": pa.array(out_s, type=pa.float64())})
+
+    partials = ds.map_batches(local_topk, batch_format="pyarrow",
+                              batch_size=4096, zero_copy_batch=True)
+    return bucketed_group_apply(partials, ["query_id"], _merge_topk(k),
+                                num_buckets=num_buckets)
+
+
+def _merge_topk(k: int):
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"query_id": t["query_id"].to_pandas(),
+                           "vec_id": t["vec_id"].to_pandas(),
+                           "score": t["score"].to_pandas()})
+        df = df.sort_values(["query_id", "score", "vec_id"],
+                            ascending=[True, False, True])
+        df = df.groupby("query_id", sort=True).head(k)
+        df["rank"] = df.groupby("query_id", sort=True).cumcount() + 1
+        return pa.table({"query_id": pa.array(df["query_id"], type=pa.int64()),
+                         "vec_id": pa.array(df["vec_id"], type=pa.int64()),
+                         "score": pa.array(df["score"], type=pa.float64()),
+                         "rank": pa.array(df["rank"], type=pa.int64())})
+    return merge
+
+
 def _hyperplanes(dim: int, nbits: int, seed: int = 42) -> np.ndarray:
     rng = np.random.Generator(np.random.PCG64(seed))
     return rng.standard_normal((nbits, dim))

@@ -187,6 +187,70 @@ def broadcast_join(ds, col: str, lookup: dict, new_cols: list[str], *,
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def shuffle_join(left_ds, right_ds, left_key: str, right_key: str, *,
+                 how: str = "inner", suffix: str = "_r",
+                 num_buckets: int = 64):
+    """Hash-shuffle equi-join for two LARGE sides — the exchange shape
+    ``broadcast_join`` cannot take when neither side fits a broadcast.
+
+    Both sides shuffle on the key bucket (the right side's key values ride
+    in the LEFT key column so one bucket column covers both); within a
+    bucket the two sides merge with a vectorized pandas join. Output
+    columns = left columns + right non-key columns (renamed with
+    ``suffix`` on collision). ``how``: "inner" (drop-on-miss) or "left"
+    (null-fill; an all-miss bucket keeps the declared right-column types).
+    """
+    ls, rs = left_ds.schema(), right_ds.schema()
+    l_names = list(ls.names)
+    l_types = dict(zip(ls.names, ls.types))
+    r_names = [n for n in rs.names if n != right_key]
+    r_types = dict(zip(rs.names, rs.types))
+    out_r = {n: (n + suffix if n in l_names else n) for n in r_names}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in l_names}
+        for n in r_names:
+            cols[out_r[n]] = pa.nulls(t.num_rows, type=r_types[n])
+        cols["__side"] = pa.array([0] * t.num_rows, type=pa.int64())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in l_names:
+            cols[n] = (t[right_key].cast(l_types[left_key])
+                       if n == left_key
+                       else pa.nulls(t.num_rows, type=l_types[n]))
+        for n in r_names:
+            cols[out_r[n]] = t[n]
+        cols["__side"] = pa.array([1] * t.num_rows, type=pa.int64())
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    r_out_names = [out_r[n] for n in r_names]
+    out_types = {**{n: l_types[n] for n in l_names},
+                 **{out_r[n]: r_types[n] for n in r_names}}
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(l_names)
+        rt = t.filter(pa.array(side == 1)).select([left_key] + r_out_names)
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        m = ldf.merge(rdf, on=left_key, how=how)
+        cols = {}
+        for n in l_names + r_out_names:
+            s = m[n].astype(object).where(pd.notna(m[n]), None)
+            cols[n] = pa.array(s.tolist(), type=out_types[n])
+        return pa.table(cols)
+
+    return bucketed_group_apply(both, [left_key], join_bucket,
+                                num_buckets=num_buckets)
+
+
 def union_upsert(base_ds, new_ds, key_col: str, *, num_buckets: int = 64):
     """The reference's combined-catalog upsert (K1+G7,
     `/root/reference/src/engine/data_preprocessing.py:75-87`): append the

@@ -62,6 +62,55 @@ def tumbling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                                 num_buckets=num_buckets)
 
 
+def hopping_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value", width_sec: int = 3600,
+                   slide_sec: int = 900, num_buckets: int = 64):
+    """Per (key, window_start) count + max over OVERLAPPING windows of
+    ``width_sec`` sliding every ``slide_sec`` (``slide_sec`` must divide
+    ``width_sec``): each event lands in ``width/slide`` windows.
+
+    Same scale shape as tumbling: the per-event expansion happens INSIDE
+    the per-batch partial combiner, so the shuffle still moves at most one
+    row per (key, window) per input block — the expansion factor never
+    crosses the exchange. Window starts are integer epoch seconds
+    (timezone-free, engine-portable). Returns (key, ws_sec, n_events,
+    max_value)."""
+    if width_sec % slide_sec:
+        raise ValueError("slide_sec must divide width_sec")
+    hops = width_sec // slide_sec
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        # explicit ns cast first: pyarrow timestamp("us") arrives as
+        # datetime64[us], whose raw int64 view is MICROseconds
+        sec = (t[ts_col].to_pandas().astype("datetime64[ns]")
+               .astype("int64") // 10**9)
+        df = pd.DataFrame({key_col: t[key_col].to_pandas(),
+                           "g": sec // slide_sec,
+                           value_col: t[value_col].to_pandas()})
+        frames = []
+        for k in range(hops):
+            d = df[[key_col, value_col]].copy()
+            d["ws_sec"] = (df["g"] - k) * slide_sec
+            frames.append(d)
+        allw = pd.concat(frames, ignore_index=True)
+        g = allw.groupby([key_col, "ws_sec"], sort=True).agg(
+            n_events=(value_col, "size"), max_value=(value_col, "max"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    def merge(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby([key_col, "ws_sec"], sort=True).agg(
+            n_events=("n_events", "sum"), max_value=("max_value", "max"))
+        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_group_apply(partials, [key_col], merge,
+                                num_buckets=num_buckets)
+
+
 def session_windows(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                     id_col: str = "event_id", gap_minutes: int = 30,
                     num_buckets: int = 64):

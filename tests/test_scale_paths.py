@@ -75,6 +75,76 @@ def test_anti_join_shuffle_equals_broadcast(ray_session):
     assert all(r["v"] == f"v{r['k']}" for r in rows)
 
 
+def test_shuffle_join_inner_and_left(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.relational import shuffle_join
+
+    left = pa.table({"k": [1, 2, 3, 3], "lv": ["a", "b", "c", "d"]})
+    right = pa.table({"rk": [2, 3, 9], "rv": [20, 30, 90],
+                      "lv": ["x2", "x3", "x9"]})  # name collision -> lv_r
+    inner = sorted((r["k"], r["lv"], r["rv"], r["lv_r"]) for r in
+                   shuffle_join(rd.from_arrow(left), rd.from_arrow(right),
+                                "k", "rk", num_buckets=4).take_all())
+    assert inner == [(2, "b", 20, "x2"), (3, "c", 30, "x3"),
+                     (3, "d", 30, "x3")]
+    lefty = sorted((r["k"], r["rv"]) for r in
+                   shuffle_join(rd.from_arrow(left), rd.from_arrow(right),
+                                "k", "rk", how="left",
+                                num_buckets=4).take_all())
+    assert lefty == [(1, None), (2, 20), (3, 30), (3, 30)]
+
+
+def test_hopping_window_membership(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.windows import hopping_window
+
+    ts = pa.array([3600 * 10**6, 5400 * 10**6],
+                  type=pa.timestamp("us"))  # t=3600s and t=5400s
+    ev = pa.table({"user_id": [1, 1], "ts": ts,
+                   "value": pa.array([5.0, 7.0])})
+    out = {(r["user_id"], r["ws_sec"]): (r["n_events"], r["max_value"])
+           for r in hopping_window(rd.from_arrow(ev), width_sec=3600,
+                                   slide_sec=900,
+                                   num_buckets=2).take_all()}
+    # event at 3600 -> windows starting 900,1800,2700,3600
+    # event at 5400 -> windows starting 2700,3600,4500,5400
+    assert out[(1, 900)] == (1, 5.0)
+    assert out[(1, 2700)] == (2, 7.0)
+    assert out[(1, 3600)] == (2, 7.0)
+    assert out[(1, 5400)] == (1, 7.0)
+    assert len(out) == 6
+
+
+def test_ivf_topk_exact_on_duplicates(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.ann import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    mat = rng.standard_normal((60, 8))
+    t = pa.table({"vec_id": list(range(60)),
+                  "embedding": [v.tolist() for v in mat]})
+    q = mat[:3]
+    exact = {}
+    for r in brute_force_topk(rd.from_arrow(t), q, 1,
+                              query_ids=[0, 1, 2],
+                              num_buckets=2).take_all():
+        exact[r["query_id"]] = r["vec_id"]
+    # a query identical to a corpus vector lands in that vector's own
+    # centroid cell, so rank-1 self-retrieval is exact under IVF
+    got = {}
+    for r in ivf_topk(rd.from_arrow(t), q, 1, query_ids=[0, 1, 2],
+                      ncentroids=4, nprobe=1, num_buckets=2).take_all():
+        if r["rank"] == 1:
+            got[r["query_id"]] = r["vec_id"]
+    assert got == exact == {0: 0, 1: 1, 2: 2}
+
+
 def test_embedding_neardup_routes_to_lsh(ray_session):
     import ray.data as rd
 
