@@ -31,7 +31,7 @@ QUERY_NAMES = [
     "tumbling_window_events", "session_window_events",
     "broadcast_join_lineitem", "jaccard_ngram_pairs_docs", "kg_edges",
     "kg_edges_canonical", "preprocess_catalog_parts", "attr_extract_docs",
-    "anti_join_customers",
+    "anti_join_customers", "shuffle_join_orders", "hopping_window_events",
 ]
 
 

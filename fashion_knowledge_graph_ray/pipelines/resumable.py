@@ -89,7 +89,8 @@ def _dir_rows(path: str) -> int:
 
 
 def _build_partition(files: list[str], part: int, taxonomy_ref, out_dir: str,
-                     config: dict, run_id: str) -> PartitionManifest:
+                     config: dict, run_id: str,
+                     canonical_map: dict | None = None) -> PartitionManifest:
     """Run the narrow chain for one partition and write its manifest.
     Output dirs are rebuilt from scratch (tmp + swap) so a partition is
     either fully present or absent — never half-appended."""
@@ -111,6 +112,10 @@ def _build_partition(files: list[str], part: int, taxonomy_ref, out_dir: str,
         concurrency=(tuple(config["concurrency"])
                      if config["concurrency"] != "auto" else None),
     )
+    if canonical_map is not None:
+        from ..stages.canonicalize import apply_canonical_map
+
+        linked = apply_canonical_map(linked, canonical_map)
     linked.write_parquet(linked_dir + ".tmp")
     _ensure_nonempty(linked_dir + ".tmp", _LINKED_SCHEMA)
     os.replace(linked_dir + ".tmp", linked_dir)
@@ -147,11 +152,17 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
                           link_mode: str = "embedding",
                           single_product_mode: bool = False,
                           dedup: bool = True,
+                          canonicalize: bool = False,
                           concurrency=None) -> GraphBuildResult:
     """Partitioned, manifest-checkpointed KG build over a parquet file or
     directory. Re-invoking with identical arguments skips every partition
     whose lineage manifest validates and recomputes only the rest, then
-    always rebuilds the final edges/nodes/triples from the partials."""
+    always rebuilds the final edges/nodes/triples from the partials.
+
+    ``canonicalize=True`` applies the taxonomy canonical-id map inside
+    every partition's narrow chain (the map is taxonomy-derived, identical
+    across partitions, and part of the manifest config so toggling it
+    invalidates prior partitions)."""
     import ray
     import ray.data as rd
 
@@ -159,10 +170,16 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
         "link_mode": link_mode,
         "single_product_mode": single_product_mode,
         "dedup": dedup,
+        "canonicalize": canonicalize,
         # "auto" (not resolved sizes) so manifests stay valid when a resume
         # runs on a different cluster size
         "concurrency": "auto" if concurrency is None else list(concurrency),
     }
+    cmap = None
+    if canonicalize:
+        from ..stages.canonicalize import canonicalize_taxonomy
+
+        cmap = canonicalize_taxonomy(taxonomy)
     parts = assign_partitions(list_parquet_files(pages_path), num_partitions)
     tax_ref = ray.put(taxonomy) if ray.is_initialized() else taxonomy
     run_id = uuid.uuid4().hex[:12]
@@ -174,7 +191,8 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
         if m is not None:
             skipped += 1
         else:
-            m = _build_partition(files, i, tax_ref, out_dir, config, run_id)
+            m = _build_partition(files, i, tax_ref, out_dir, config, run_id,
+                                 canonical_map=cmap)
         manifests.append(m)
 
     # Finals: ALWAYS recomputed from all partition outputs (never merged

@@ -134,6 +134,30 @@ def test_tampered_manifest_forces_recompute(ray_session, sharded_pages,
     assert metrics["partitions_skipped"] == N_PARTS - 1
 
 
+def test_canonicalized_partitioned_matches_monolithic(ray_session,
+                                                      sharded_pages,
+                                                      tmp_path):
+    import ray.data as rd
+
+    shards, tax = sharded_pages
+    out_p = str(tmp_path / "part_c")
+    out_m = str(tmp_path / "mono_c")
+    build_graph_resumable(shards, tax, out_p, num_partitions=N_PARTS,
+                          link_mode="gazetteer", canonicalize=True)
+    build_graph(rd.read_parquet(shards), tax, out_m, link_mode="gazetteer",
+                canonicalize=True)
+    got, want = _table_sets(out_p), _table_sets(out_m)
+    for name in got:
+        assert got[name].equals(want[name]), name
+    # canonical ids actually differ from the raw build
+    raw = build_graph_resumable(shards, tax, str(tmp_path / "part_raw"),
+                                num_partitions=N_PARTS,
+                                link_mode="gazetteer")
+    raw_edges = _canon(os.path.join(str(tmp_path / "part_raw"), "edges"),
+                       ["src", "dst", "rel"])
+    assert not got["edges"].equals(raw_edges)
+
+
 def test_config_change_invalidates(ray_session, sharded_pages, tmp_path):
     shards, tax = sharded_pages
     out = str(tmp_path / "kg")
