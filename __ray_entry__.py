@@ -65,23 +65,37 @@ def _kg_outdir(sf_dir: str, tag: str) -> str:
     return f"/tmp/fkgr_entry/{sf}_{tag}"
 
 
+_KG_CACHE: dict[tuple[str, str], Any] = {}
+
+
 def _build_kg(sf_dir: str, link_mode: str, *, canonicalize: bool = False):
-    """Full KG pipeline over pages derived from the documents table."""
+    """Full KG pipeline over pages derived from the documents table.
+
+    Memoized per (sf_dir, variant) within the process: six query
+    callables consume the same build's tables, and the driver invokes them
+    all in one session — rebuilding identical outputs per call would just
+    re-measure the build six times."""
     import ray
 
     from fashion_knowledge_graph_ray.datagen import gen_taxonomy
     from fashion_knowledge_graph_ray.pipelines.build_graph import build_graph
     from fashion_knowledge_graph_ray.sources.pages import pages_from_documents
 
+    tag = link_mode + ("_canon" if canonicalize else "")
+    key = (os.path.normpath(sf_dir), tag)
+    hit = _KG_CACHE.get(key)
+    if hit is not None:
+        return hit
     tax = gen_taxonomy(42)
     pages = pages_from_documents(sf_dir)  # text=None -> extract from html
-    tag = link_mode + ("_canon" if canonicalize else "")
     # small fixed pools: the sf inputs here are 500-5000 docs, where
     # auto-sized pools (up to 24 actors at 32 cpus) spend more wall time
     # spawning actors than linking
-    return build_graph(pages, tax, _kg_outdir(sf_dir, tag),
-                       link_mode=link_mode, canonicalize=canonicalize,
-                       concurrency=(2, 4))
+    res = build_graph(pages, tax, _kg_outdir(sf_dir, tag),
+                      link_mode=link_mode, canonicalize=canonicalize,
+                      concurrency=(2, 4))
+    _KG_CACHE[key] = res
+    return res
 
 
 # ── entry ────────────────────────────────────────────────────────────────
