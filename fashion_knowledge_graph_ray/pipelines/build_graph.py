@@ -11,19 +11,24 @@ Shape:
       -> MentionDetector actor pool          # M6/T1
       -> attrs map_batches                   # M8/M9
       -> Linker actor pool                   # J1/T8
-      -> write linked/ parquet               # lineage cut point
-    pairs  = linked -> pair flat-map          # G1  -> write pairs/
-    edges  = pairs groupby(src,dst,rel)       # G2/G3 (partial-combined)
-    nodes  = linked explode -> groupby(eid)   # G4
-    triples= dedup(attr ∪ rel triples)
+      [-> apply_canonical_map]               # north-rule canonicalization
+      -> materialize (in-memory blocks)
+    pairs  = linked -> pair flat-map          # G1  -> materialize
+    then SIX concurrent branches off the shared blocks:
+      linked -> write linked/ parquet         # resume checkpoint
+      pairs  -> write pairs/ parquet          # resume checkpoint
+      edges  = pairs groupby(src,dst,rel)     # G2/G3 (partial-combined)
+      nodes  = linked explode -> groupby(eid) # G4
+      triples= dedup(attr ∪ rel triples)
+      embeddings = taxonomy dual-profile table  # K2/T2/T3
 
-The ``linked/`` and ``pairs/`` Parquet directories are deliberate
-materialization cut points: they are (a) the fan-out inputs consumed by
-multiple downstream branches (so the expensive extraction/link pass runs
-ONCE), and (b) the per-partition resume artifacts — final aggregations are
-always recomputed from them, never incrementally updated, so a resumed run
-can never double-count (fixes the reference's re-run weight inflation,
-SURVEY.md §4.4).
+The expensive extraction/link pass runs ONCE into the in-memory
+materialization (no write-then-reread round-trip — removing it raised
+8->32-CPU scaling efficiency 0.73 -> 0.85, BASELINE.md). The ``linked/``
+and ``pairs/`` parquet checkpoints remain the per-partition resume
+artifacts — final aggregations are always recomputed from them, never
+incrementally updated, so a resumed run can never double-count (fixes the
+reference's re-run weight inflation, SURVEY.md §4.4).
 """
 
 from __future__ import annotations

@@ -5,10 +5,10 @@
   groupby -> verified pairs -> connected components);
 - SimHash near-dup (64-bit simhash, band blocking on 16-bit chunks,
   Hamming-distance verification);
-- n-gram Jaccard near-dup (the MinHash path with word-shingle
-  verification);
-- embedding-cosine near-dup (broadcast matrix per batch; the LSH-bucketed
-  scale path lives in stages/ann.py).
+- n-gram Jaccard near-dup (exact AllPairs/PPJoin prefix-filter join over
+  64-bit gram hashes);
+- embedding-cosine near-dup (exact broadcast-matrix path, auto-routed to
+  the random-hyperplane ``lsh_neardup_pairs`` above a vector-count gate).
 
 Every variant returns deterministic cluster assignments
 ``(id, cluster_id = min member id)`` or verified pair lists, independent of

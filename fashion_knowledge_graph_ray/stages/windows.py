@@ -1,16 +1,19 @@
 """Windowed aggregates over an event-time column.
 
 The reference has no streaming semantics (SURVEY.md §2.10) — these are
-training-data-pipeline additions: the two window shapes a batch engine
+training-data-pipeline additions: the three window shapes a batch engine
 needs when re-processing event logs at scale.
 
-Both are deterministic batch re-expressions:
+All are deterministic batch re-expressions:
 
 - ``tumbling_window`` — fixed-width windows = pure key derivation
   (``floor(ts)``), so it is a partial-combine + bucketed merge with NO
   per-row Python: each input batch pre-aggregates to at most one row per
   (key, window) before the shuffle, which is what keeps the exchange tiny
   at 10^12-event scale.
+- ``hopping_window`` — overlapping windows; the per-event ``width/slide``
+  expansion happens INSIDE the partial combiner so the exchange still
+  moves at most one row per (key, window) per block.
 - ``session_windows`` — gap-based windows cannot pre-combine (a session
   boundary depends on neighboring rows), so ALL rows of one key must
   co-locate: one bucketed shuffle on the key, then a vectorized
