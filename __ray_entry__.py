@@ -366,6 +366,29 @@ def _q_quality_docs(sf_dir: str):
     return quality_scores(docs)
 
 
+def _q_quality_filter_docs(sf_dir: str):
+    # C4-style quality gate composed from the stats stage: keep documents
+    # with a sane token count, a non-degenerate stopword ratio and
+    # plausible mean token length (the classic web-corpus pre-training
+    # filter shape). Predicates run vectorized on the stats columns.
+    import pyarrow.compute as pc
+
+    from fashion_knowledge_graph_ray.stages.textstats import quality_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    q = quality_scores(docs)
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.greater_equal(t["n_tokens"], 40),
+                    pc.less_equal(t["n_tokens"], 90)),
+            pc.and_(pc.greater_equal(t["stop_ratio"], 0.01),
+                    pc.less_equal(t["mean_token_len"], 10.0)))
+        return t.filter(m).select(["doc_id", "n_tokens", "stop_ratio"])
+
+    return q.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_lang_id_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.textstats import lang_id
 
@@ -859,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_count_docs": _q_token_count_docs,
         "quality_docs": _q_quality_docs,
+        "quality_filter_docs": _q_quality_filter_docs,
         "lang_id_docs": _q_lang_id_docs,
         "fingerprint_docs": _q_fingerprint_docs,
         "top_tokens_docs": _q_top_tokens_docs,
@@ -1154,6 +1178,18 @@ SELECT doc_id, {ntok} AS n_tokens, {nchr} AS n_chars_nows,
        CASE WHEN {ntok} = 0 THEN 0.0
             ELSE CAST({nchr} AS DOUBLE) / {ntok} END AS mean_token_len
 FROM documents""",
+        "quality_filter_docs": f"""
+WITH q AS (
+  SELECT doc_id, {ntok} AS n_tokens,
+         CASE WHEN {ntok} = 0 THEN 0.0
+              ELSE CAST({nstop} AS DOUBLE) / {ntok} END AS stop_ratio,
+         CASE WHEN {ntok} = 0 THEN 0.0
+              ELSE CAST({nchr} AS DOUBLE) / {ntok} END AS mean_token_len
+  FROM documents
+)
+SELECT doc_id, n_tokens, stop_ratio FROM q
+WHERE n_tokens BETWEEN 40 AND 90
+  AND stop_ratio >= 0.01 AND mean_token_len <= 10.0""",
         "lang_id_docs": f"""
 WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
 c AS (SELECT doc_id, {lang_counts} FROM t)
