@@ -52,15 +52,42 @@ def cosine_topk(queries: np.ndarray, index: np.ndarray, k: int,
     indices) each (q, k). Rows are assumed L2-normalized so cosine is a
     matmul. ``mask`` (q, n) bool marks allowed candidates (metadata
     filters); disallowed candidates score -inf. Ties break on the lower
-    index (deterministic)."""
+    index (deterministic).
+
+    Fast path: ``argpartition`` selects the k candidates in O(n) and only
+    they are sorted — an exact replacement for the full (q, n) lexsort
+    UNLESS a score tie straddles the k boundary (the partition set is then
+    arbitrary), so rows where the boundary score is tied (or -inf from
+    all-masked candidates) fall back to the full deterministic lexsort.
+    Measured: the full lexsort was the single hottest numpy kernel in the
+    entity linker at bench scale."""
     sims = queries @ index.T  # (q, n)
     if mask is not None:
         sims = np.where(mask, sims, -np.inf)
-    n = index.shape[0]
+    q, n = sims.shape
     k = min(k, n)
-    # argsort on (-score, index) for full determinism
-    order = np.lexsort((np.broadcast_to(np.arange(n), sims.shape), -sims), axis=1)
-    idx = order[:, :k]
+
+    def full_sort(rows: np.ndarray) -> np.ndarray:
+        order = np.lexsort(
+            (np.broadcast_to(np.arange(n), rows.shape), -rows), axis=1)
+        return order[:, :k]
+
+    if k >= n or n <= 64 or q == 0:
+        idx = full_sort(sims)
+        return np.take_along_axis(sims, idx, axis=1), idx
+
+    part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+    part_scores = np.take_along_axis(sims, part, axis=1)
+    kth = part_scores.min(axis=1)
+    # exact iff exactly k candidates score >= the boundary AND the
+    # boundary is finite (an -inf boundary means <k real candidates)
+    exact = ((sims >= kth[:, None]).sum(axis=1) == k) & np.isfinite(kth)
+    # order each partition set by (-score, index)
+    order = np.lexsort((part, -part_scores), axis=1)
+    idx = np.take_along_axis(part, order, axis=1)
+    if not exact.all():
+        bad = ~exact
+        idx[bad] = full_sort(sims[bad])
     return np.take_along_axis(sims, idx, axis=1), idx
 
 

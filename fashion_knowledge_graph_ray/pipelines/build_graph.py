@@ -193,11 +193,14 @@ def resolve_pool_sizes(concurrency=None) -> tuple[int, int]:
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    # the two pools host the CPU-heavy per-page work, so they claim ~3/4 of
-    # the cluster (detector 1/4, linker 1/2) — but NEVER all of it: task
-    # operators (read, extract, shuffle) must keep CPUs or the streaming
-    # executor deadlocks (observed at num_cpus=4 with over-sized pools)
-    return max(1, ncpu // 4), max(1, ncpu // 2)
+    # The two pools host the CPU-heavy per-page work and claim ~13/16 of
+    # the cluster — but NEVER all of it: task operators (read, extract,
+    # shuffle) must keep CPUs or the streaming executor deadlocks
+    # (observed at num_cpus=4 with over-sized pools). Split measured from
+    # ds.stats() remote-CPU totals on the 800k-page bench: the fused
+    # attrs+link stage carries ~4.5x the detector's CPU, so detector gets
+    # 3/16 and the linker 10/16.
+    return max(1, ncpu * 3 // 16), max(1, ncpu * 10 // 16)
 
 
 def build_linked(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",

@@ -109,8 +109,15 @@ class EmbeddingLinker:
         """Vectorized top-1-of-top-k with reference filter semantics:
         ``category == label`` (skipped if no label), ``gender IN (unisex,
         g)``, ``color == c`` (skipped if c empty/unknown) — then cosine
-        top-k, take top-1, accept iff score >= threshold."""
-        q = hash_embed(surfaces, dim=self.dim)
+        top-k, take top-1, accept iff score >= threshold.
+
+        Surfaces repeat heavily (the mention vocabulary is
+        taxonomy-bounded), so only UNIQUE surfaces are embedded and the
+        rows are gathered back — a measured multiple on the hot
+        per-mention embedding cost."""
+        uniq, inv = np.unique(np.asarray(surfaces, dtype=object),
+                              return_inverse=True)
+        q = hash_embed(uniq.tolist(), dim=self.dim)[inv]
         lab = self._codes(labels, self._cat_code, missing=-1)
         g = self._codes(genders, self._gen_code, missing=-2)
         c = np.asarray(
