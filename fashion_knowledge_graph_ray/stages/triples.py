@@ -13,6 +13,7 @@ with the same partial-combine-then-groupby shape as the edge aggregation.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..schemas import TRIPLES_SCHEMA
 from ..vocab import LIST_FIELDS, SCALAR_FIELDS, UNKNOWN
@@ -20,35 +21,61 @@ from ..vocab import LIST_FIELDS, SCALAR_FIELDS, UNKNOWN
 TRIPLE_KEYS = ["subj", "pred", "obj", "url"]
 
 
+def _cc(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
 def attr_triples_batch(batch: pa.Table) -> pa.Table:
-    """flat linked mentions -> attribute triple rows."""
-    subs, preds, objs, urls, tss = [], [], [], [], []
-    attrs_list = batch["attrs"].to_pylist()
-    eids = batch["entity_id"].to_pylist()
-    urls_in = batch["url"].to_pylist()
-    tss_in = batch["warc_ts"].to_pylist()
-    for eid, attrs, url, ts in zip(eids, attrs_list, urls_in, tss_in):
-        if not eid or not attrs:
+    """flat linked mentions -> attribute triple rows.
+
+    Fully vectorized: one Arrow mask+filter per scalar field and one
+    list-flatten per list field (the per-row Python loop over ~6 attrs x
+    every mention was a measured hotspot of the triples branch at bench
+    scale). Emission rules unchanged: linked mentions only, scalar values
+    that are neither null/empty nor "unknown", every element of every
+    list field."""
+    eid = _cc(batch["entity_id"])
+    url = _cc(batch["url"])
+    ts = _cc(batch["warc_ts"])
+    attrs = _cc(batch["attrs"])
+    linked = pc.and_kleene(eid.is_valid(),
+                           pc.not_equal(eid, pa.scalar("")))
+    linked = pc.fill_null(linked, False)
+    parts = []
+
+    def emit(pred: str, subj_a, obj_a, url_a, ts_a):
+        parts.append(pa.table(
+            {
+                "subj": subj_a,
+                "pred": pa.array([pred] * len(subj_a), type=pa.string()),
+                "obj": obj_a,
+                "url": url_a,
+                "warc_ts": ts_a,
+            },
+            schema=TRIPLES_SCHEMA,
+        ))
+
+    for f in SCALAR_FIELDS:
+        v = attrs.field(f)
+        m = pc.and_(linked, pc.fill_null(pc.and_kleene(
+            pc.not_equal(v, pa.scalar(UNKNOWN)),
+            pc.not_equal(v, pa.scalar(""))), False))
+        if pc.any(m).as_py():
+            emit(f"has_{f}", eid.filter(m), v.filter(m), url.filter(m),
+                 ts.filter(m))
+    for f in LIST_FIELDS:
+        lv = attrs.field(f)
+        flat = pc.list_flatten(lv)
+        if len(flat) == 0:
             continue
-        for f in SCALAR_FIELDS:
-            v = attrs.get(f)
-            if v and v != UNKNOWN:
-                subs.append(eid); preds.append(f"has_{f}"); objs.append(v)
-                urls.append(url); tss.append(ts)
-        for f in LIST_FIELDS:
-            for v in attrs.get(f) or []:
-                subs.append(eid); preds.append(f"has_{f}"); objs.append(v)
-                urls.append(url); tss.append(ts)
-    return pa.table(
-        {
-            "subj": pa.array(subs, type=pa.string()),
-            "pred": pa.array(preds, type=pa.string()),
-            "obj": pa.array(objs, type=pa.string()),
-            "url": pa.array(urls, type=pa.string()),
-            "warc_ts": pa.array(tss, type=pa.timestamp("us", tz="UTC")),
-        },
-        schema=TRIPLES_SCHEMA,
-    )
+        parent = pc.list_parent_indices(lv)
+        m = linked.take(parent)
+        if pc.any(m).as_py():
+            emit(f"has_{f}", eid.take(parent).filter(m), flat.filter(m),
+                 url.take(parent).filter(m), ts.take(parent).filter(m))
+    if not parts:
+        return TRIPLES_SCHEMA.empty_table()
+    return pa.concat_tables(parts)
 
 
 def rel_triples_batch(pairs_batch: pa.Table) -> pa.Table:
