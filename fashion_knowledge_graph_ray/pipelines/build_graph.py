@@ -6,9 +6,9 @@ triples/nodes/edges (the KG-build core; reference entry point
 Shape:
 
     pages = read_parquet(...)                 # S4
-      -> dedup by url                        # G7 (keys on url alone)
       -> EnrichmentStage actor pool          # FUSED extract+detect+attrs+link
                                              # (M13 + M6/T1 + M8/M9 + J1/T8)
+      -> dedup by url                        # G7 (narrow rows, keep-first)
       [-> apply_canonical_map]               # north-rule canonicalization
       -> materialize (in-memory blocks)
     pairs  = linked -> pair flat-map          # G1  -> materialize
