@@ -835,7 +835,12 @@ def _q_canonical_map(sf_dir: str):
         canonicalize_taxonomy,
     )
 
-    m = canonicalize_taxonomy(gen_taxonomy(42))
+    # max_driver_forms=0 forces the DISTRIBUTED minhash/LSH/verify/CC
+    # path; the oracle is generated from the independent pure in-process
+    # implementation (canonical_map_pure), so this row cross-checks the
+    # two — with the default routing both sides would reduce to the same
+    # pure call and the check would be vacuous.
+    m = canonicalize_taxonomy(gen_taxonomy(42), max_driver_forms=0)
     items = sorted(m.items())
     return pa.table({"entity_id": [k for k, _ in items],
                      "canonical_id": [v for _, v in items]})

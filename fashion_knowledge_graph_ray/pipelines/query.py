@@ -149,7 +149,7 @@ def style_query_rewrite(query: str) -> str:
 
     attrs = extract_attrs(query)
     sent = style_sentence(attrs)
-    if sent and sent != "piece":
+    if sent:  # style_sentence already returns '' for the no-signal case
         return sent
     return " ".join((query or "").lower().split())
 

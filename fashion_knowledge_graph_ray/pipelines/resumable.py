@@ -197,9 +197,21 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
 
     # Finals: ALWAYS recomputed from all partition outputs (never merged
     # incrementally) — overwrite semantics, same rationale as build_graph.
-    paths = {k: os.path.join(out_dir, k) for k in ("triples", "nodes", "edges")}
+    paths = {k: os.path.join(out_dir, k)
+             for k in ("triples", "nodes", "edges", "embeddings")}
     for p in paths.values():
         shutil.rmtree(p, ignore_errors=True)
+
+    # K2 analog, same contract as build_graph: the dual-profile taxonomy
+    # embeddings table, so outfit_from_text/outfit_from_page work on
+    # resumable builds too. Taxonomy-sized — a single driver-side write.
+    import pyarrow.parquet as pq
+
+    from .build_graph import taxonomy_embeddings_table
+
+    os.makedirs(paths["embeddings"], exist_ok=True)
+    pq.write_table(taxonomy_embeddings_table(taxonomy),
+                   os.path.join(paths["embeddings"], "part-0.parquet"))
 
     # partitioning=None: the part=i layout must NOT hive-inject a `part`
     # column — partition lineage lives in the manifests, not the schema.
@@ -258,4 +270,5 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
                             pairs_path=pairs_root,
                             triples_path=paths["triples"],
                             nodes_path=paths["nodes"],
-                            edges_path=paths["edges"])
+                            edges_path=paths["edges"],
+                            embeddings_path=paths["embeddings"])

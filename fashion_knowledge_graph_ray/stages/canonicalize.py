@@ -218,17 +218,24 @@ def _verify_pairs_shuffle(cand, texts_ds, *, threshold: float,
                           num_buckets: int = 64):
     """Driver-free verification of candidate pairs — the dense-regime path.
 
-    Four bucketed phases, every one shuffling only candidate-sized data:
+    Four bucketed phases:
 
-    1. distinct involved ids from both pair sides;
-    2. semi-join against ``texts_ds`` keyed by id: texts of involved ids
-       reduce to (id, shingle-hash list) in-bucket — the corpus never
-       leaves its blocks, only the involved sliver's hashes do;
+    1. distinct involved ids from both pair sides (candidate-sized);
+    2. shuffle semi-join against ``texts_ds`` keyed by id — this ONE
+       exchange is corpus-sized (every (id, text) row crosses it once,
+       the unavoidable cost of an exact semi-join without a driver
+       broadcast; pre-hashing shingles before the exchange would inflate
+       it ~8x, one uint64 per character vs one byte). In-bucket, texts of
+       involved ids reduce to (id, shingle-hash list), so everything
+       DOWNSTREAM is candidate-sized;
     3. attach side-a shingles to each pair (bucketed on a);
     4. attach side-b shingles + exact Jaccard verdict (bucketed on b).
 
-    Identical output to the broadcast path (same shingle hashing, same
-    size-prune + intersect arithmetic)."""
+    The sparse regime (involved set small enough to broadcast) never
+    reaches this function — ``candidate_pairs`` routes it to the
+    broadcast verify, whose only exchange is the candidate pairs
+    themselves. Identical output to that path (same shingle hashing,
+    same size-prune + intersect arithmetic)."""
     import pandas as pd
 
     # 1. involved ids, distinct

@@ -401,6 +401,10 @@ def embedding_neardup_pairs(ds, *, emb_col: str = "embedding",
     corpus on the driver."""
     import ray
 
+    # materialize once: count() would otherwise execute the upstream
+    # pipeline just to route, and the chosen branch would recompute it
+    # from scratch (candidate_pairs uses the same pattern)
+    ds = ds.materialize()
     if ds.count() > max_driver_vecs:
         return lsh_neardup_pairs(ds, emb_col=emb_col, id_col=id_col,
                                  threshold=threshold)

@@ -73,7 +73,12 @@ class PairGenerator:
     detector+linker pools)."""
 
     def __init__(self, taxonomy_ref):
+        import pandas as pd
+
         self.cat = _category_map(taxonomy_ref)
+        # built once: Series construction from a |taxonomy|-entry dict is
+        # not free on the per-batch hot path
+        self._cat_series = pd.Series(self.cat)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # Vectorized per-page pairing: flatten the mentions column, keep
@@ -104,7 +109,7 @@ class PairGenerator:
         j = j[j["e_x"] < j["e_y"]]
         if len(j) == 0:
             return PAIRS_SCHEMA.empty_table()
-        cat = pd.Series(self.cat)
+        cat = self._cat_series
         ca = j["e_x"].map(cat)
         cb = j["e_y"].map(cat)
         same = ca.notna().values & (ca.values == cb.values)

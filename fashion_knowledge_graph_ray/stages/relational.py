@@ -119,8 +119,10 @@ def anti_join_auto(left_ds, left_key: str, right_ds, right_key: str, *,
                    num_buckets: int = 64):
     """M2 anti-join routed by key-side size: a key side small enough to
     broadcast uses the shuffle-free ``anti_join_keys`` path; a larger one
-    routes to ``anti_join_shuffle``. ``right_ds.count()`` on a parquet
-    read is metadata-only."""
+    routes to ``anti_join_shuffle``. The key side is materialized once so
+    the routing ``count()`` and the chosen branch share one execution
+    (callers routinely pass derived datasets, not bare parquet reads)."""
+    right_ds = right_ds.materialize()
     if right_ds.count() <= max_broadcast_keys:
         keys = [r[right_key] for r in
                 right_ds.select_columns([right_key]).take_all()]

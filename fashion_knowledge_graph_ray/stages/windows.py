@@ -85,12 +85,15 @@ def hopping_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        # explicit ns cast first: pyarrow timestamp("us") arrives as
-        # datetime64[us], whose raw int64 view is MICROseconds
-        sec = (t[ts_col].to_pandas().astype("datetime64[ns]")
-               .astype("int64") // 10**9)
+        # epoch conversion in Arrow, not pandas: cast(int64) yields epoch
+        # ticks in the column's own unit for BOTH naive and tz-aware
+        # timestamps (Arrow stores UTC epoch internally), where the pandas
+        # .astype('datetime64[ns]') route raises on tz-aware columns
+        ty = t.schema.field(ts_col).type
+        div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ty.unit]
+        ticks = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         df = pd.DataFrame({key_col: t[key_col].to_pandas(),
-                           "g": sec // slide_sec,
+                           "g": (ticks // div) // slide_sec,
                            value_col: t[value_col].to_pandas()})
         frames = []
         for k in range(hops):

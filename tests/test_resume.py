@@ -76,6 +76,12 @@ def test_partitioned_matches_monolithic(ray_session, sharded_pages, tmp_path):
     got, want = _table_sets(out_p), _table_sets(out_m)
     for name in got:
         assert got[name].equals(want[name]), name
+    # K2 parity: the resumable build must ship the same dual-profile
+    # embeddings table the monolithic build guarantees (the query layer's
+    # outfit_from_text/outfit_from_page consume res.embeddings_path)
+    emb_p = pq.read_table(os.path.join(out_p, "embeddings"))
+    emb_m = pq.read_table(os.path.join(out_m, "embeddings"))
+    assert emb_p.equals(emb_m) and emb_p.num_rows == tax.num_rows
     metrics = json.load(open(os.path.join(out_p, "metrics.json")))
     assert metrics["partitions"] == N_PARTS
     assert metrics["partitions_built"] == N_PARTS

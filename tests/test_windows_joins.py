@@ -50,6 +50,42 @@ def test_tumbling_window_counts_and_max(ray_session):
     assert got == {(1, 9): (2, 7.0), (1, 10): (1, 3.0), (2, 9): (1, 2.0)}
 
 
+def test_windows_tz_aware_timestamps(ray_session):
+    # tz-aware event logs (warc_ts convention is tz-free, but user event
+    # tables routinely carry tz='UTC') must not crash any window shape;
+    # hopping must agree with its tz-naive twin on the same instants
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.windows import hopping_window
+
+    rows = [(1, _ts(9, 5), 1.0), (1, _ts(9, 55), 7.0), (2, _ts(9, 30), 2.0)]
+
+    def mk(tz):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "event_id": pa.array(list(range(len(rows))), type=pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           type=pa.timestamp("us", tz=tz)),
+            "value": pa.array([float(r[2]) for r in rows],
+                              type=pa.float64()),
+        }))
+
+    def key(out):
+        return sorted((r["user_id"], r["ws_sec"], r["n_events"],
+                       r["max_value"]) for r in out)
+
+    aware = hopping_window(mk("UTC"), width_sec=3600, slide_sec=1800,
+                           num_buckets=2).take_all()
+    naive = hopping_window(mk(None), width_sec=3600, slide_sec=1800,
+                           num_buckets=2).take_all()
+    assert key(aware) == key(naive) and len(aware) > 0
+
+    t = tumbling_window(mk("UTC"), num_buckets=2).take_all()
+    assert sum(r["n_events"] for r in t) == 3
+    s = session_windows(mk("UTC"), gap_minutes=30, num_buckets=2).take_all()
+    assert sum(r["n_events"] for r in s) == 3
+
+
 def test_session_windows_gap_split(ray_session):
     # user 1: events at 9:00, 9:20, 10:30 with a 30-min gap -> two sessions
     ds = _events_ds(ray_session, [
