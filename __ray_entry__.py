@@ -359,6 +359,59 @@ def _q_token_count_docs(sf_dir: str):
                          batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_repetition_docs(sf_dir: str):
+    # Gopher repetition signals. The fixture corpus has no duplicate
+    # lines at all, so every 5th doc is augmented with a second copy of
+    # its own text (mirrored in the oracle SQL) — otherwise
+    # dup_line_frac would be a 0-variance column and the hash match
+    # would prove nothing, the same weakness as a 0-row query.
+    import pyarrow.compute as pc
+
+    from fashion_knowledge_graph_ray.stages.textstats import repetition_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+
+    def aug(t: pa.Table) -> pa.Table:
+        # numpy modulo: pyarrow.compute has no mod kernel in this version
+        dup = pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 5 == 0)
+        doubled = pc.binary_join_element_wise(t["text"], t["text"], "\n")
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.if_else(dup, doubled, t["text"])})
+
+    return repetition_stats(docs.map_batches(aug, batch_format="pyarrow",
+                                             zero_copy_batch=True))
+
+
+def _q_curate_docs(sf_dir: str):
+    # Composed corpus-curation pipeline (C4/Gopher shape): langid gate ->
+    # quality gates -> repetition gates -> exact dedup keep-min-id. The
+    # fixture is augmented so EVERY stage does real work: doubled text
+    # for doc_id%5==0 (tripped by the dup-line gate) and a shifted-id
+    # copy of doc_id<25 (tripped by the dedup keep-min rule) — both
+    # mirrored in the oracle SQL.
+    import pyarrow.compute as pc
+
+    from fashion_knowledge_graph_ray.pipelines.curate import curate_corpus
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+
+    def aug(t: pa.Table) -> pa.Table:
+        dup = pa.array(t["doc_id"].to_numpy(zero_copy_only=False) % 5 == 0)
+        doubled = pc.binary_join_element_wise(t["text"], t["text"], "\n")
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pc.if_else(dup, doubled, t["text"])})
+
+    def shift(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.less(t["doc_id"], 25))
+        return pa.table({"doc_id": pc.add(k["doc_id"], 100000),
+                         "text": k["text"]})
+
+    a = docs.map_batches(aug, batch_format="pyarrow", zero_copy_batch=True)
+    full = a.union(a.map_batches(shift, batch_format="pyarrow",
+                                 zero_copy_batch=True))
+    return curate_corpus(full)
+
+
 def _q_quality_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.textstats import quality_scores
 
@@ -887,6 +940,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_count_docs": _q_token_count_docs,
         "quality_docs": _q_quality_docs,
+        "repetition_docs": _q_repetition_docs,
+        "curate_docs": _q_curate_docs,
         "quality_filter_docs": _q_quality_filter_docs,
         "lang_id_docs": _q_lang_id_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -1175,6 +1230,106 @@ SELECT md5(text) AS md5, min(doc_id) AS doc_id
 FROM documents GROUP BY md5(text)""",
         "token_count_docs": f"""
 SELECT doc_id, {ntok} AS n_tokens FROM documents""",
+        # same %5 text-doubling augmentation as the Ray query; operation
+        # order inside each arithmetic expression mirrors the Python
+        # kernel exactly so the doubles hash-match
+        "repetition_docs": r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+tok AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM aug
+),
+pairs AS (
+  SELECT doc_id, unnest(list_zip(toks[:-1], toks[2:])) AS bg
+  FROM tok WHERE len(toks) >= 2
+),
+cnts AS (SELECT doc_id, bg, count(*) AS c FROM pairs GROUP BY doc_id, bg),
+top AS (SELECT doc_id, max(c) AS topc FROM cnts GROUP BY doc_id)
+SELECT t.doc_id,
+       len(t.lines) AS n_lines,
+       1.0 - (CAST(len(list_distinct(t.lines)) AS DOUBLE) / len(t.lines))
+         AS dup_line_frac,
+       CASE WHEN len(t.toks) < 2 THEN 0.0
+            ELSE CAST(coalesce(top.topc, 0) AS DOUBLE) / (len(t.toks) - 1)
+       END AS top_bigram_frac
+FROM tok t LEFT JOIN top USING (doc_id)""",
+        # composed curation pipeline, same %5-doubling and shifted-copy
+        # augmentation as the Ray query; every signal expression mirrors
+        # the single-pass _doc_signals kernel
+        "curate_docs": f"""
+WITH aug0 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || chr(10) || text
+              ELSE text END AS text
+  FROM documents
+),
+aug AS (
+  SELECT * FROM aug0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM aug0 WHERE doc_id < 25
+),
+t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM aug
+),
+big AS (
+  SELECT doc_id, max(c) AS topc FROM (
+    SELECT doc_id, bg, count(*) AS c
+    FROM (SELECT doc_id, unnest(list_zip(toks[:-1], toks[2:])) AS bg
+          FROM t WHERE len(toks) >= 2) GROUP BY doc_id, bg)
+  GROUP BY doc_id
+),
+sig AS (
+  SELECT t.doc_id, md5(t.text) AS md5,
+         len(t.toks) AS n_tokens,
+         CASE WHEN len(t.toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(list_transform(t.toks,
+                     x -> lower(x)), x -> list_contains(
+                     {_stop_list_sql()}, x))) AS DOUBLE) / len(t.toks)
+         END AS stop_ratio,
+         CASE WHEN len(t.toks) = 0 THEN 0.0
+              ELSE CAST(length(regexp_replace(t.text, '\\s', '', 'g'))
+                        AS DOUBLE) / len(t.toks)
+         END AS mean_token_len,
+         1.0 - (CAST(len(list_distinct(t.lines)) AS DOUBLE)
+                / len(t.lines)) AS dup_line_frac,
+         CASE WHEN len(t.toks) < 2 THEN 0.0
+              ELSE CAST(coalesce(big.topc, 0) AS DOUBLE)
+                   / (len(t.toks) - 1)
+         END AS top_bigram_frac,
+         len(list_filter(list_transform(t.toks, x -> lower(x)),
+             x -> list_contains({_marker_sql('de')}, x))) AS de,
+         len(list_filter(list_transform(t.toks, x -> lower(x)),
+             x -> list_contains({_marker_sql('en')}, x))) AS en,
+         len(list_filter(list_transform(t.toks, x -> lower(x)),
+             x -> list_contains({_marker_sql('es')}, x))) AS es,
+         len(list_filter(list_transform(t.toks, x -> lower(x)),
+             x -> list_contains({_marker_sql('fr')}, x))) AS fr
+  FROM t LEFT JOIN big USING (doc_id)
+)
+SELECT doc_id, md5, n_tokens, stop_ratio, mean_token_len, dup_line_frac,
+       top_bigram_frac
+FROM sig
+WHERE (CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+            WHEN en >= es AND en >= fr THEN 'en'
+            WHEN es >= fr THEN 'es'
+            ELSE 'fr' END) = 'en'
+  AND n_tokens BETWEEN 25 AND 90
+  AND stop_ratio >= 0.01 AND mean_token_len <= 10.0
+  AND dup_line_frac <= 0.4 AND top_bigram_frac <= 0.08
+QUALIFY row_number() OVER (PARTITION BY md5 ORDER BY doc_id) = 1""",
         "quality_docs": f"""
 SELECT doc_id, {ntok} AS n_tokens, {nchr} AS n_chars_nows,
        {nstop} AS n_stopwords,

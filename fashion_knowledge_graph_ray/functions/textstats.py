@@ -74,6 +74,30 @@ def predict_lang(text: str) -> str:
     return best if scores[best] > 0 else "und"
 
 
+def line_dup_stats(text: str) -> tuple[int, float]:
+    """(n_lines, dup_line_frac): Gopher-style repetition signal — the
+    fraction of ``\\n``-split lines that are repeats of another line in
+    the same document. Empty text is one (empty) line, frac 0.0. The
+    oracle mirrors this as ``1.0 - len(list_distinct(lines))/len(lines)``
+    (same operation order, so the doubles agree bit-for-bit)."""
+    lines = (text or "").split("\n")
+    n = len(lines)
+    return n, 1.0 - (len(set(lines)) / n)
+
+
+def top_bigram_frac(text: str) -> float:
+    """Fraction of word-bigram slots occupied by the single most frequent
+    bigram (Gopher 'top n-gram fraction', n=2): high values mean boilerplate
+    or generated repetition. 0.0 for texts with fewer than two tokens."""
+    from collections import Counter
+
+    toks = tokens(text)
+    if len(toks) < 2:
+        return 0.0
+    counts = Counter(zip(toks, toks[1:]))
+    return max(counts.values()) / (len(toks) - 1)
+
+
 def _hash64(token: str) -> int:
     return int.from_bytes(
         hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big")

@@ -14,10 +14,12 @@ import pyarrow as pa
 from ..functions.textstats import (
     fingerprint_md5,
     lang_scores,
+    line_dup_stats,
     predict_lang,
     simhash64,
     stopword_count,
     token_count,
+    top_bigram_frac,
     ws_free_len,
 )
 
@@ -69,6 +71,33 @@ def fingerprints(ds, *, text_col: str = "text", id_col: str = "doc_id",
                  batch_size: int = 4096):
     return ds.map_batches(
         lambda b: fingerprint_batch(b, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def repetition_batch(batch: pa.Table, *, text_col: str,
+                     id_col: str) -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    stats = [line_dup_stats(t) for t in texts]
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_lines": pa.array([s[0] for s in stats], type=pa.int64()),
+            "dup_line_frac": pa.array([s[1] for s in stats],
+                                      type=pa.float64()),
+            "top_bigram_frac": pa.array([top_bigram_frac(t) for t in texts],
+                                        type=pa.float64()),
+        }
+    )
+
+
+def repetition_stats(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     batch_size: int = 4096):
+    """Gopher-style repetition quality signals per document: duplicate-line
+    fraction and top-bigram fraction — the filters a web-crawl curation
+    pipeline applies before training-data export. Stateless vectorized
+    map_batches, same scale shape as the other text-analysis stages."""
+    return ds.map_batches(
+        lambda b: repetition_batch(b, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 

@@ -111,3 +111,47 @@ def test_value_counts_equals_counter(ray_session, vals):
            for r in value_counts(rd.from_arrow(pa.table({"c": vals})), "c",
                                  num_buckets=2).take_all()}
     assert out == dict(Counter(vals))
+
+
+multiline = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=6).map(" ".join),
+    min_size=1, max_size=8).map("\n".join)
+
+
+@SET
+@given(text=multiline)
+def test_repetition_kernels_match_bruteforce(text):
+    from collections import Counter
+
+    from fashion_knowledge_graph_ray.functions.textstats import (
+        line_dup_stats,
+        tokens,
+        top_bigram_frac,
+    )
+
+    n_lines, dup = line_dup_stats(text)
+    lines = text.split("\n")
+    assert n_lines == len(lines)
+    assert dup == 1.0 - len(set(lines)) / len(lines)
+    assert 0.0 <= dup < 1.0
+
+    tb = top_bigram_frac(text)
+    toks = tokens(text)
+    if len(toks) < 2:
+        assert tb == 0.0
+    else:
+        grams = list(zip(toks, toks[1:]))
+        assert tb == Counter(grams).most_common(1)[0][1] / len(grams)
+        assert 0.0 < tb <= 1.0
+
+
+def test_repetition_known_values():
+    from fashion_knowledge_graph_ray.functions.textstats import (
+        line_dup_stats,
+        top_bigram_frac,
+    )
+
+    assert line_dup_stats("") == (1, 0.0)
+    assert line_dup_stats("a\nb\na") == (3, 1.0 - 2 / 3)
+    assert top_bigram_frac("a b a b a") == 0.5  # 'a b' twice of 4 slots
+    assert top_bigram_frac("one") == 0.0

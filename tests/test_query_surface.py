@@ -224,3 +224,46 @@ def test_source_readers(ray_session, tmp_path):
     got = [r["path"] for r in
            list_dir_filtered(str(d), suffix="_full.jpg", limit=1).take_all()]
     assert len(got) == 1 and got[0].endswith("a_full.jpg")
+
+
+def test_curate_corpus_near_dedup(ray_session):
+    # Composed curation with the MinHash near-dedup stage: two
+    # near-identical survivors collapse to the min-id representative,
+    # an exact duplicate collapses via md5, gated docs never appear.
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.pipelines.curate import curate_corpus
+
+    base = ("the quick brown fox jumps over a lazy dog while the sun is "
+            "shining and children play near the old stone bridge beside "
+            "a quiet river full of fish and song today")
+    near = base.replace("quiet river", "silent river")
+    corpus = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "text": [
+            base,                      # survivor, cluster representative
+            near,                      # near-dup of 1 -> dropped
+            base,                      # exact dup of 1 -> dropped by md5
+            "der die und das ein " * 8,   # fails the language gate
+            "la la " * 30,             # fails the top-bigram gate
+        ],
+    })
+    out = curate_corpus(rd.from_arrow(corpus), near_dedup=True,
+                        minhash_threshold=0.5, num_buckets=2).take_all()
+    assert [r["doc_id"] for r in out] == [1]
+    assert "text" not in out[0]
+    assert out[0]["n_tokens"] == len(base.split())
+
+
+def test_curate_corpus_exact_only_keeps_min_id(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.pipelines.curate import curate_corpus
+
+    base = ("the quick brown fox jumps over a lazy dog while the sun is "
+            "shining and children play near the old stone bridge beside "
+            "a quiet river full of fish and song today")
+    corpus = pa.table({"doc_id": pa.array([7, 3, 9], type=pa.int64()),
+                       "text": [base, base, base]})
+    out = curate_corpus(rd.from_arrow(corpus), num_buckets=2).take_all()
+    assert [r["doc_id"] for r in out] == [3]
