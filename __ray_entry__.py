@@ -20,6 +20,7 @@ per row (no order-dependent float accumulation is ever compared).
 
 from __future__ import annotations
 
+import functools
 import os
 from collections.abc import Callable
 from typing import Any
@@ -974,6 +975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
         "kg_triples_embedding": _q_kg_triples_embedding,
+        # sequential-reference VALUES oracles (not rows-only):
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1006,6 +1008,230 @@ def _cat_case_sql(var: str) -> str:
         f"WHEN {i} THEN '{cat}'" for i, (_n, cat) in enumerate(PRODUCT_NOUNS)
     )
     return f"(CASE (({var}) // 20) {whens} END)"
+
+
+# The driver evaluates every oracle at sf0.01 (driver contract); the
+# sequential-reference oracles below read the same table the registered
+# DuckDB views point at and emit literal VALUES.
+_ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+@functools.lru_cache(maxsize=1)
+def _minhash_expected_values() -> tuple:
+    """Independent SEQUENTIAL reference for ``minhash_dedup`` over the
+    sf0.01 documents: shares only the per-row hash kernels
+    (minhash_signature/_shingle_hashes — the hashing IS the semantics)
+    and re-orchestrates banding, candidate generation, Jaccard
+    verification and connected components with plain dicts and a
+    union-find — no Ray, no bucketing, no shuffle. Emitted as a VALUES
+    oracle so the distributed orchestration is cross-checked end to end
+    (the same pattern as canonical_map)."""
+    import itertools
+    import zlib
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        _shingle_hashes,
+        minhash_signature,
+    )
+
+    tbl = pq.read_table(_ORACLE_SF_DIR + "/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = [str(x) for x in tbl["doc_id"].to_pylist()]
+    texts = {i: (t or "") for i, t in zip(ids, tbl["text"].to_pylist())}
+
+    buckets: dict = defaultdict(set)
+    for i in ids:
+        sig = minhash_signature(texts[i], 64, 5)
+        for b in range(16):
+            buckets[(b, zlib.crc32(sig[b * 4:(b + 1) * 4].tobytes()))].add(i)
+    cand: set = set()
+    for mem in buckets.values():
+        if len(mem) >= 2:
+            cand.update(itertools.combinations(sorted(mem), 2))
+
+    sh: dict = {}
+    pairs = []
+    for a, b in sorted(cand):
+        for x in (a, b):
+            if x not in sh:
+                sh[x] = _shingle_hashes(texts[x], 5)
+        sa, sb = sh[a], sh[b]
+        la, lb = len(sa), len(sb)
+        if min(la, lb) < 0.7 * max(la, lb):
+            continue
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        if inter / (la + lb - inter) >= 0.7:
+            pairs.append((a, b))
+
+    parent = {i: i for i in ids}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return tuple((i, find(i)) for i in ids)
+
+
+@functools.lru_cache(maxsize=1)
+def _simhash_expected_values() -> tuple:
+    """Independent SEQUENTIAL reference for ``simhash_pairs`` at
+    max_hamming=3: brute-force all-pairs Hamming over the shared
+    simhash64 kernel. The Ray path's 16-bit-chunk blocking has PERFECT
+    recall here by pigeonhole (3 differing bits across 4 chunks always
+    leave one chunk identical), and its per-bucket truncation cannot
+    trigger at 500 docs, so brute force equals the blocked output
+    exactly."""
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.functions.textstats import (
+        hamming64,
+        simhash64,
+    )
+
+    tbl = pq.read_table(_ORACLE_SF_DIR + "/documents.parquet",
+                        columns=["doc_id", "text"])
+    ids = sorted(str(x) for x in tbl["doc_id"].to_pylist())
+    texts = {str(i): (t or "") for i, t in
+             zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())}
+    hs = {i: simhash64(texts[i]) for i in ids}
+    out = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = hamming64(hs[ids[i]], hs[ids[j]])
+            if d <= 3:
+                out.append((ids[i], ids[j], d))
+    return tuple(out)
+
+
+@functools.lru_cache(maxsize=1)
+def _ann_corpus_seq():
+    """(ids, normalized matrix, query ids, normalized query matrix) for
+    the sequential ANN references — file order, same normalization kernel
+    as the Ray stages."""
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.stages.ann import _normalize
+
+    t = pq.read_table(_ORACLE_SF_DIR + "/embeddings.parquet")
+    ids = np.asarray(t["vec_id"].to_pylist())
+    mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                               for v in t["embedding"].to_pylist()]))
+    qids, qm_raw = _embedding_queries(_ORACLE_SF_DIR)
+    return ids, mat, qids, _normalize(qm_raw)
+
+
+def _seq_topk_rows(candidate_mask_fn, k: int = 10) -> list[tuple]:
+    """Global sequential top-k per query over the candidate subset —
+    the independent reference for the Ray partial-topk + bucketed-merge
+    orchestration. Ordering matches: score DESC, vec_id ASC."""
+    ids, mat, qids, qm = _ann_corpus_seq()
+    rows = []
+    for qi in range(len(qids)):
+        mask = candidate_mask_fn(qi, mat)
+        if not mask.any():
+            continue
+        cand_ids = ids[mask]
+        sims = mat[mask] @ qm[qi]
+        order = np.lexsort((cand_ids, -sims))[:min(k, len(cand_ids))]
+        for rank, oi in enumerate(order, 1):
+            rows.append((int(qids[qi]), int(cand_ids[oi]),
+                         float(sims[oi]), rank))
+    return rows
+
+
+@functools.lru_cache(maxsize=1)
+def _lsh_ann_expected_values() -> tuple:
+    """Sequential reference for ``lsh_bucketed_topk`` (nbits=6, probes=8,
+    seed=42): shared hyperplane/bucket kernels, independently re-derived
+    margin-ordered multiprobe sets and a single-process global top-k —
+    no Ray, no partial combine, no bucketed merge."""
+    from fashion_knowledge_graph_ray.stages.ann import (
+        _bucket_of,
+        _hyperplanes,
+    )
+
+    nbits, probes, k = 6, 8, 10
+    ids, mat, qids, qm = _ann_corpus_seq()
+    planes = _hyperplanes(qm.shape[1], nbits, 42)
+    qb = _bucket_of(qm, planes)
+    vb = _bucket_of(mat, planes)
+    margins = qm @ planes.T
+    t_bits = min(nbits, max(1, (max(probes - 1, 1)).bit_length() + 1))
+    probe_sets = []
+    for qi, b in enumerate(qb):
+        order = np.argsort(np.abs(margins[qi]))[:t_bits]
+        subsets = []
+        for mask in range(1 << t_bits):
+            flip, loss = 0, 0.0
+            for j in range(t_bits):
+                if mask >> j & 1:
+                    flip |= 1 << int(order[j])
+                    loss += abs(float(margins[qi, order[j]]))
+            subsets.append((loss, int(b) ^ flip))
+        subsets.sort()
+        probe_sets.append({code for _, code in subsets[:probes]})
+
+    return tuple(_seq_topk_rows(
+        lambda qi, m: np.isin(vb, list(probe_sets[qi])), k))
+
+
+@functools.lru_cache(maxsize=1)
+def _ivf_ann_expected_values() -> tuple:
+    """Sequential reference for ``ivf_topk`` (ncentroids=16, nprobe=4,
+    seed=42): shared seeded k-means kernel (the 500-row corpus IS the
+    whole train sample, so file order pins the centroids), independently
+    re-derived probe cells and a single-process global top-k."""
+    from fashion_knowledge_graph_ray.stages.ann import _spherical_kmeans
+
+    ncent, nprobe, k = 16, 4, 10
+    ids, mat, qids, qm = _ann_corpus_seq()
+    cent = _spherical_kmeans(mat, ncent, seed=42)
+    probe = np.argsort(-(qm @ cent.T), axis=1)[:, :min(nprobe, len(cent))]
+    probe_sets = [set(row.tolist()) for row in probe]
+    vc = np.argmax(mat @ cent.T, axis=1)
+
+    return tuple(_seq_topk_rows(
+        lambda qi, m: np.isin(vc, list(probe_sets[qi])), k))
+
+
+def _ann_values_sql(rows: tuple) -> str:
+    # scores as QUOTED strings: a bare 17-digit decimal literal is parsed
+    # by DuckDB as DECIMAL first (precision loss); string -> DOUBLE casts
+    # round-trip the exact float64 bits
+    vals = ", ".join(
+        f"({q}, {v}, CAST('{s!r}' AS DOUBLE), CAST({r} AS BIGINT))"
+        for q, v, s, r in rows)
+    return (f"SELECT CAST(query_id AS BIGINT) AS query_id, "
+            f"CAST(vec_id AS BIGINT) AS vec_id, score, rank "
+            f"FROM (VALUES {vals}) AS t(query_id, vec_id, score, rank)")
+
+
+def _minhash_values_sql() -> str:
+    vals = ", ".join(f"('{i}', '{c}')"
+                     for i, c in _minhash_expected_values())
+    return (f"SELECT id, component FROM (VALUES {vals}) "
+            f"AS t(id, component)")
+
+
+def _simhash_values_sql() -> str:
+    rows = _simhash_expected_values()
+    if not rows:
+        return ("SELECT '' AS a, '' AS b, CAST(0 AS BIGINT) AS hamming "
+                "WHERE 1=0")
+    vals = ", ".join(f"('{a}', '{b}', CAST({d} AS BIGINT))"
+                     for a, b, d in rows)
+    return f"SELECT a, b, hamming FROM (VALUES {vals}) AS t(a, b, hamming)"
 
 
 def _pure_canonical_map() -> dict[str, str]:
@@ -1495,6 +1721,10 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges": kg_edges_sql,
         "kg_edges_canonical": kg_edges_canon_sql,
         "canonical_map": _canonical_map_values_sql(),
+        "minhash_dedup_docs": _minhash_values_sql(),
+        "simhash_pairs_docs": _simhash_values_sql(),
+        "lsh_ann_topk": _ann_values_sql(_lsh_ann_expected_values()),
+        "ivf_ann_topk": _ann_values_sql(_ivf_ann_expected_values()),
         "media_frame_sample": """
 SELECT printf('doc-%d', doc_id) AS media_id, f AS frame_idx
 FROM documents, (VALUES (0), (10), (20)) AS t(f)
