@@ -845,8 +845,21 @@ def _q_outfit_page(sf_dir: str):
 
 
 def _q_kg_triples_embedding(sf_dir: str):
+    # FULL embedding-mode build -> triples, with warc_ts projected to
+    # epoch seconds so the sequential-reference VALUES oracle needs no
+    # timestamp-literal round-trip (the min-ts dedup semantics are still
+    # value-checked through ts_sec)
     res = _build_kg(sf_dir, "embedding")
-    return res.dataset("triples")
+
+    def project(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        sec = pc.divide(t["warc_ts"].cast(pa.int64()), 1_000_000)
+        return pa.table({"subj": t["subj"], "pred": t["pred"],
+                         "obj": t["obj"], "url": t["url"], "ts_sec": sec})
+
+    return res.dataset("triples").map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _q_minhash_dedup_docs(sf_dir: str):
@@ -1203,6 +1216,106 @@ def _ivf_ann_expected_values() -> tuple:
 
     return tuple(_seq_topk_rows(
         lambda qi, m: np.isin(vc, list(probe_sets[qi])), k))
+
+
+@functools.lru_cache(maxsize=1)
+def _kg_triples_expected_values() -> tuple:
+    """Independent SEQUENTIAL reference for the embedding-mode KG triples:
+    the enrichment kernel (extract->detect->attrs->link) runs ONCE on the
+    whole corpus as a single in-process batch — no Ray, no blocks, no
+    actor pool — and everything downstream (page dedup, attr-triple
+    emission, distinct-entity pairing with the category rule, both-way
+    relation triples, min-ts triple dedup) is re-derived with plain Python
+    loops and dicts. Cross-checks the distributed COMPOSITION: block
+    splitting, the fused pool, the pairs self-merge vectorization, the
+    attr-triple Arrow mask/flatten kernels, and both bucketed dedup
+    shuffles. (The per-row enrichment semantics themselves are covered by
+    the arithmetic SQL oracles of the gazetteer-mode kg_* queries.)"""
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.schemas import PAGES_SCHEMA
+    from fashion_knowledge_graph_ray.sources.pages import _page_row
+    from fashion_knowledge_graph_ray.stages.linker import EnrichmentStage
+    from fashion_knowledge_graph_ray.vocab import (
+        LIST_FIELDS,
+        REL_COMPLEMENTED_BY,
+        REL_WORN_WITH,
+        SCALAR_FIELDS,
+        UNKNOWN,
+    )
+
+    tbl = pq.read_table(_ORACLE_SF_DIR + "/documents.parquet",
+                        columns=["doc_id", "text", "lang"])
+    rows = [_page_row(int(d), t or "", lg or "und")
+            for d, t, lg in zip(tbl["doc_id"].to_pylist(),
+                                tbl["text"].to_pylist(),
+                                tbl["lang"].to_pylist())]
+    pages = pa.table(
+        {
+            "url": pa.array([r["url"] for r in rows], type=pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                                type=pa.timestamp("us", tz="UTC")),
+            "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+            "text": pa.array([None] * len(rows), type=pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        },
+        schema=PAGES_SCHEMA,
+    )
+
+    tax = gen_taxonomy(42)
+    linked = EnrichmentStage(tax, link_mode="embedding")(pages)
+    cat = dict(zip(tax["entity_id"].to_pylist(), tax["category"].to_pylist()))
+
+    best: dict = {}  # keep-earliest-warc_ts page dedup
+    for r in linked.to_pylist():
+        u = r["url"]
+        if u not in best or r["warc_ts"] < best[u]["warc_ts"]:
+            best[u] = r
+
+    tri: dict = {}  # (subj, pred, obj, url) -> min epoch sec
+
+    def add(s, p, o, u, ts):
+        k = (s, p, o, u)
+        sec = int(ts.timestamp())
+        if k not in tri or sec < tri[k]:
+            tri[k] = sec
+
+    for r in best.values():
+        u, ts = r["url"], r["warc_ts"]
+        linked_ids = []
+        for m in r["mentions"]:
+            eid = m.get("entity_id")
+            if not eid:
+                continue
+            linked_ids.append(eid)
+            a = m["attrs"]
+            for f in SCALAR_FIELDS:
+                v = a.get(f)
+                if v not in (None, "", UNKNOWN):
+                    add(eid, f"has_{f}", v, u, ts)
+            for f in LIST_FIELDS:
+                for v in a.get(f) or []:
+                    add(eid, f"has_{f}", v, u, ts)
+        ids = sorted(set(linked_ids))
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                x, y = ids[i], ids[j]
+                cx, cy = cat.get(x), cat.get(y)
+                rel = (REL_COMPLEMENTED_BY if cx and cy and cx == cy
+                       else REL_WORN_WITH)
+                add(x, rel, y, u, ts)
+                add(y, rel, x, u, ts)
+    return tuple(sorted((s, p, o, u, t)
+                        for (s, p, o, u), t in tri.items()))
+
+
+def _kg_triples_values_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', '{p}', '{o}', '{u}', CAST({t} AS BIGINT))"
+        for s, p, o, u, t in _kg_triples_expected_values())
+    return (f"SELECT subj, pred, obj, url, ts_sec FROM (VALUES {vals}) "
+            f"AS t(subj, pred, obj, url, ts_sec)")
 
 
 def _ann_values_sql(rows: tuple) -> str:
@@ -1721,6 +1834,7 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges": kg_edges_sql,
         "kg_edges_canonical": kg_edges_canon_sql,
         "canonical_map": _canonical_map_values_sql(),
+        "kg_triples_embedding": _kg_triples_values_sql(),
         "minhash_dedup_docs": _minhash_values_sql(),
         "simhash_pairs_docs": _simhash_values_sql(),
         "lsh_ann_topk": _ann_values_sql(_lsh_ann_expected_values()),
