@@ -383,6 +383,31 @@ def _q_repetition_docs(sf_dir: str):
                                              zero_copy_batch=True))
 
 
+def _q_pii_scrub_docs(sf_dir: str):
+    # PII scrubbing (emails -> IPv4 -> phones, RE2 on BOTH sides: pyarrow
+    # kernels here, DuckDB regexp_* in the oracle). The fixture corpus
+    # contains no PII, so every 7th doc gets a deterministic PII suffix
+    # (mirrored in the oracle SQL) — otherwise all three count columns
+    # would be 0-variance and the hash match would prove nothing.
+    from fashion_knowledge_graph_ray.stages.scrub import scrub_pii
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out = [
+            ((x or "") + f" Contact a{d}@mail.example or 10.0.{d % 256}.7 "
+             f"now +1 (555) 010-{d % 10000:04d}.") if d % 7 == 0 else x
+            for d, x in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": t["doc_id"],
+                         "text": pa.array(out, type=pa.string())})
+
+    return scrub_pii(docs.map_batches(aug, batch_format="pyarrow",
+                                      zero_copy_batch=True))
+
+
 def _q_curate_docs(sf_dir: str):
     # Composed corpus-curation pipeline (C4/Gopher shape): langid gate ->
     # quality gates -> repetition gates -> exact dedup keep-min-id. The
@@ -955,6 +980,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_docs": _q_token_count_docs,
         "quality_docs": _q_quality_docs,
         "repetition_docs": _q_repetition_docs,
+        "pii_scrub_docs": _q_pii_scrub_docs,
         "curate_docs": _q_curate_docs,
         "quality_filter_docs": _q_quality_filter_docs,
         "lang_id_docs": _q_lang_id_docs,
@@ -1569,6 +1595,42 @@ SELECT md5(text) AS md5, min(doc_id) AS doc_id
 FROM documents GROUP BY md5(text)""",
         "token_count_docs": f"""
 SELECT doc_id, {ntok} AS n_tokens FROM documents""",
+        # same %7 PII-suffix augmentation as the Ray query; both sides run
+        # RE2 (pyarrow kernels / DuckDB regexp_*), so match semantics agree
+        # by construction. Scrub order (email -> IPv4 -> phone) and
+        # count-before-own-replacement are part of the semantics.
+        "pii_scrub_docs": """
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN COALESCE(text, '')
+                || ' Contact a' || CAST(doc_id AS VARCHAR)
+                || '@mail.example or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                || '.7 now +1 (555) 010-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+              ELSE COALESCE(text, '') END AS text
+  FROM documents),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM aug),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t,
+             '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ips,
+         regexp_replace(t, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                        '<IP>', 'g') AS t
+  FROM s1)
+SELECT doc_id,
+       regexp_replace(t, '\\+?[0-9][0-9()\\s.\\-]{6,}[0-9]',
+                      '<PHONE>', 'g') AS scrubbed,
+       n_emails, n_ips,
+       len(regexp_extract_all(t,
+           '\\+?[0-9][0-9()\\s.\\-]{6,}[0-9]')) AS n_phones
+FROM s2""",
         # same %5 text-doubling augmentation as the Ray query; operation
         # order inside each arithmetic expression mirrors the Python
         # kernel exactly so the doubles hash-match

@@ -17,7 +17,9 @@ Shape:
       pairs  -> write pairs/ parquet          # resume checkpoint
       edges  = pairs groupby(src,dst,rel)     # G2/G3 (partial-combined)
       nodes  = linked explode -> groupby(eid) # G4
-      triples= dedup(attr ∪ rel triples)
+      triples= attr ∪ rel triples (dedup in-kernel, page-local — zero
+               shuffle when pages are url-unique; see
+               stages/triples.page_local_triples)
       embeddings = taxonomy dual-profile table  # K2/T2/T3
 
 The expensive extraction/link pass runs ONCE into the in-memory
@@ -40,7 +42,12 @@ import pyarrow as pa
 from ..stages.aggregate import aggregate_edges, merge_nodes
 from ..stages.extract import dedup_pages
 from ..stages.pairs import explode_mentions, generate_pairs
-from ..stages.triples import dedup_triples, emit_attr_triples, emit_rel_triples
+from ..stages.triples import (
+    dedup_triples,
+    emit_attr_triples,
+    emit_rel_triples,
+    page_local_triples,
+)
 
 
 def _settle_fsspec_http() -> None:
@@ -309,9 +316,14 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
 
         pairs = generate_pairs(linked, tax_ref).materialize()
         edges_ds = aggregate_edges(pairs)
-        triples_ds = dedup_triples(
-            emit_attr_triples(explode_mentions(linked))
-            .union(emit_rel_triples(pairs)))
+        # dedup=True guarantees url-unique linked rows, which makes every
+        # triple-duplicate group page-local — the shuffle-free path.
+        # dedup=False keeps the general bucketed dedup (url collisions can
+        # then span blocks).
+        triples_ds = (page_local_triples(linked, pairs) if dedup
+                      else dedup_triples(
+                          emit_attr_triples(explode_mentions(linked))
+                          .union(emit_rel_triples(pairs))))
 
         def _pairs_ckpt():
             pairs.write_parquet(paths["pairs"])

@@ -113,6 +113,38 @@ def dedup_triples(triples_ds, *, batch_size: int = 16384, num_buckets: int = 64)
                                 num_buckets=num_buckets)
 
 
+def page_local_triples(linked_ds, pairs_ds, *, batch_size: int = 1024):
+    """ZERO-SHUFFLE triple emission + dedup for URL-UNIQUE linked rows.
+
+    Precondition (the ``dedup_pages`` guarantee): every url appears in
+    exactly one row of ``linked_ds``, and ``pairs_ds`` derives from those
+    same rows. Then global distinctness of (subj, pred, obj, url) needs no
+    all-to-all exchange, because every duplicate group is page-local:
+
+    - batches here slice PAGE rows (one linked row per page), never a
+      page's mentions, so all attr triples of a url are emitted within one
+      kernel call and deduped in-kernel;
+    - relation triples are distinct by construction (distinct-id ``i<j``
+      pairing, two directions) — no dedup needed at all;
+    - attr preds (``has_*``) and rel preds (worn_with/complemented_by)
+      are disjoint vocabularies, so the union cannot collide.
+
+    min-warc_ts semantics are preserved trivially (one url = one ts).
+    This replaces the heaviest shuffle of the KG build (measured 13.3 s of
+    a 44 s 16-CPU wall for the bucketed variant at 800k pages) with pure
+    streaming map_batches — the 100-TB shape for url-partitioned corpora.
+    Callers WITHOUT the url-unique guarantee must use ``dedup_triples``."""
+    from .pairs import explode_mentions_batch
+
+    def attr_local(t: pa.Table) -> pa.Table:
+        return _dedup_vectorized(
+            attr_triples_batch(explode_mentions_batch(t)))
+
+    attr = linked_ds.map_batches(attr_local, batch_format="pyarrow",
+                                 batch_size=batch_size, zero_copy_batch=True)
+    return attr.union(emit_rel_triples(pairs_ds))
+
+
 def emit_attr_triples(linked_flat_ds, *, batch_size: int = 4096):
     return linked_flat_ds.map_batches(
         attr_triples_batch, batch_format="pyarrow", batch_size=batch_size,

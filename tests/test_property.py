@@ -155,3 +155,32 @@ def test_repetition_known_values():
     assert line_dup_stats("a\nb\na") == (3, 1.0 - 2 / 3)
     assert top_bigram_frac("a b a b a") == 0.5  # 'a b' twice of 4 slots
     assert top_bigram_frac("one") == 0.0
+
+
+def test_scrub_pii_known_values():
+    import pyarrow as pa
+
+    from fashion_knowledge_graph_ray.stages.scrub import scrub_pii_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "mail me at jo.doe+x@sub.example.org today",
+            "server 192.168.0.1 and 10.0.0.255 up",
+            # an IPv4 must be scrubbed as <IP>, never double-counted as a
+            # phone (counts are taken AFTER the previous pattern's scrub)
+            "call +1 (555) 010-9999 from 10.1.2.3",
+            None,
+        ]),
+    })
+    out = scrub_pii_batch(t)
+    rows = out.to_pylist()
+    assert rows[0]["scrubbed"] == "mail me at <EMAIL> today"
+    assert (rows[0]["n_emails"], rows[0]["n_ips"], rows[0]["n_phones"]) \
+        == (1, 0, 0)
+    assert rows[1]["scrubbed"] == "server <IP> and <IP> up"
+    assert rows[1]["n_ips"] == 2 and rows[1]["n_phones"] == 0
+    assert rows[2]["scrubbed"] == "call <PHONE> from <IP>"
+    assert (rows[2]["n_emails"], rows[2]["n_ips"], rows[2]["n_phones"]) \
+        == (0, 1, 1)
+    assert rows[3]["scrubbed"] == "" and rows[3]["n_emails"] == 0
