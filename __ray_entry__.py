@@ -951,18 +951,35 @@ def _q_media_frame_sample(sf_dir: str):
     return frames.select_columns(["media_id", "frame_idx"])
 
 
+def _project_feat_crc(ds):
+    """(media_id, features:list<float32>) -> (media_id, feat_crc).
+
+    crc32 of the features' float32 bytes: a value-exact projection that a
+    VALUES oracle can carry (raw float lists can't ride a hash compare).
+    float32 -> python float -> float32 round-trips exactly (widening)."""
+    import zlib
+
+    def proj(t: pa.Table) -> pa.Table:
+        crc = [zlib.crc32(np.asarray(f, dtype=np.float32).tobytes())
+               for f in t["features"].to_pylist()]
+        return pa.table({"media_id": t["media_id"],
+                         "feat_crc": pa.array(crc, type=pa.int64())})
+
+    return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_media_image_features(sf_dir: str):
     from fashion_knowledge_graph_ray.sources.media import media_from_documents
     from fashion_knowledge_graph_ray.stages.multimodal import image_features
 
-    return image_features(media_from_documents(sf_dir))
+    return _project_feat_crc(image_features(media_from_documents(sf_dir)))
 
 
 def _q_media_audio_features(sf_dir: str):
     from fashion_knowledge_graph_ray.sources.media import media_from_documents
     from fashion_knowledge_graph_ray.stages.multimodal import audio_features
 
-    return audio_features(media_from_documents(sf_dir))
+    return _project_feat_crc(audio_features(media_from_documents(sf_dir)))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1334,6 +1351,49 @@ def _kg_triples_expected_values() -> tuple:
                 add(y, rel, x, u, ts)
     return tuple(sorted((s, p, o, u, t)
                         for (s, p, o, u), t in tri.items()))
+
+
+@functools.lru_cache(maxsize=1)
+def _media_expected_values(kind: str) -> tuple:
+    """Sequential reference for the media featurizers: the media table is
+    re-derived from documents and the featurizer kernel runs ONCE on the
+    whole corpus as a single in-process batch — no Ray, no actor pool, no
+    block splits. Features are per-row deterministic (stub codecs are
+    seeded by payload bytes), so the distributed result must match
+    bit-for-bit; the crc32-of-float32-bytes projection makes that
+    comparable through a VALUES oracle."""
+    import zlib
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.sources.media import (
+        media_batch_from_documents,
+    )
+    from fashion_knowledge_graph_ray.stages.multimodal import (
+        AudioFeaturizer,
+        ImageFeaturizer,
+    )
+
+    docs = pq.read_table(_ORACLE_SF_DIR + "/documents.parquet",
+                         columns=["doc_id", "text"])
+    media = media_batch_from_documents(docs)
+    media = media.filter(pc.equal(media["kind"], kind))
+    feat = (ImageFeaturizer() if kind == "image"
+            else AudioFeaturizer())(media)
+    rows = []
+    for mid, f in zip(feat["media_id"].to_pylist(),
+                      feat["features"].to_pylist()):
+        rows.append((mid, zlib.crc32(
+            np.asarray(f, dtype=np.float32).tobytes())))
+    return tuple(sorted(rows))
+
+
+def _media_values_sql(kind: str) -> str:
+    vals = ", ".join(f"('{m}', CAST({c} AS BIGINT))"
+                     for m, c in _media_expected_values(kind))
+    return (f"SELECT media_id, feat_crc FROM (VALUES {vals}) "
+            f"AS t(media_id, feat_crc)")
 
 
 def _kg_triples_values_sql() -> str:
@@ -1897,6 +1957,8 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges_canonical": kg_edges_canon_sql,
         "canonical_map": _canonical_map_values_sql(),
         "kg_triples_embedding": _kg_triples_values_sql(),
+        "media_image_features": _media_values_sql("image"),
+        "media_audio_features": _media_values_sql("audio"),
         "minhash_dedup_docs": _minhash_values_sql(),
         "simhash_pairs_docs": _simhash_values_sql(),
         "lsh_ann_topk": _ann_values_sql(_lsh_ann_expected_values()),

@@ -172,13 +172,21 @@ def scaling() -> None:
     Noise only ever ADDS time, so the min per leg is the faithful
     estimator, and interleaving cancels drift bias between legs.
 
-    Known residual leak (documented in BASELINE.md): polars' rayon pool
-    spans all host cores regardless of num_cpus; set POLARS_MAX_THREADS=1
-    in the environment for the strict pinned variant."""
+    Strict CPU containment: scaling legs run with POLARS_MAX_THREADS=1
+    (overridable via the environment). Without it, polars' rayon pool
+    spans ALL host cores regardless of ``num_cpus`` (measured:
+    ``pl.thread_pool_size()==32`` inside an 8-cpu session's workers), so
+    the small leg silently borrows the big leg's cores for every
+    polars-backed kernel (bucket hashing, Ray's sort) — a real N-core
+    node cannot, which breaks the N-vs-4N premise. Ray already pins
+    OMP_NUM_THREADS=1 for numpy; this closes the remaining leak. The
+    plain headline run stays unpinned (single-job absolute throughput
+    legitimately uses whatever the host gives)."""
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    FKGR_BENCH_SKIP_QUERIES="1")
+        env.setdefault("POLARS_MAX_THREADS", "1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True, cwd=os.path.dirname(os.path.abspath(__file__))).stdout

@@ -158,13 +158,15 @@ def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64,
                                 num_buckets=num_buckets)
 
 
-def _merge_nodes_bucket(t: pa.Table) -> pa.Table:
-    """Vectorized LWW merge of all entities in one bucket.
-
-    The reference's node upsert overwrites ALL provided keys per record
-    (SET p += full attrs dict), so the merged attrs record is the attrs of
-    the LAST mention in (warc_ts, url, mention_id) order; surface forms
-    collect sorted distinct."""
+def _partial_nodes(t: pa.Table) -> pa.Table:
+    """Per-batch LWW partial for the node merge: one row per entity seen
+    in the batch, carrying the ordering key (warc_ts, url, mention_id) of
+    its LAST mention, that mention's attrs, and the batch's distinct
+    surface forms. Associative: the global last mention is the last of
+    the per-batch lasts, and the distinct-forms union is a union of
+    unions — so the shuffle moves |entities| x |blocks| narrow partials
+    instead of every flat mention row (measured: the nodes branch was the
+    critical wave path at 800k pages before this combine)."""
     df = pd.DataFrame(
         {
             "entity_id": t["entity_id"].to_pandas(),
@@ -184,6 +186,11 @@ def _merge_nodes_bucket(t: pa.Table) -> pa.Table:
     return pa.table(
         {
             "entity_id": pa.array(eids, type=pa.string()),
+            "warc_ts": pa.array(last["warc_ts"].tolist(),
+                                type=t.schema.field("warc_ts").type),
+            "url": pa.array(last["url"].tolist(), type=pa.string()),
+            "mention_id": pa.array(last["mention_id"].tolist(),
+                                   type=pa.string()),
             "attrs": pa.array([attrs_all[i] for i in last["_i"]],
                               type=ATTRS_STRUCT),
             "surface_forms": pa.array([forms[e] for e in eids],
@@ -192,11 +199,51 @@ def _merge_nodes_bucket(t: pa.Table) -> pa.Table:
     )
 
 
-def merge_nodes(linked_flat_ds, *, num_buckets: int = 64):
-    """flat linked mentions -> nodes table (one row per entity)."""
-    keep = linked_flat_ds.map_batches(
-        lambda t: t.filter(t["entity_id"].combine_chunks().is_valid()),
-        batch_format="pyarrow", zero_copy_batch=True,
+def _merge_nodes_bucket(t: pa.Table) -> pa.Table:
+    """Vectorized LWW merge of all entity PARTIALS in one bucket.
+
+    The reference's node upsert overwrites ALL provided keys per record
+    (SET p += full attrs dict), so the merged attrs record is the attrs of
+    the LAST mention in (warc_ts, url, mention_id) order; surface forms
+    collect sorted distinct across partials."""
+    df = pd.DataFrame(
+        {
+            "entity_id": t["entity_id"].to_pandas(),
+            "warc_ts": t["warc_ts"].to_pandas(),
+            "url": t["url"].to_pandas(),
+            "mention_id": t["mention_id"].to_pandas(),
+            "_i": range(t.num_rows),
+        }
     )
-    return bucketed_group_apply(keep, ["entity_id"], _merge_nodes_bucket,
+    ordered = df.sort_values(["entity_id", "warc_ts", "url", "mention_id"])
+    last = ordered.groupby("entity_id", sort=True).tail(1)
+    attrs_all = t["attrs"].to_pylist()
+    forms_col = t["surface_forms"].to_pylist()
+    forms: dict[str, set] = {}
+    for e, fl in zip(df["entity_id"], forms_col):
+        forms.setdefault(e, set()).update(fl)
+    eids = last["entity_id"].tolist()
+    return pa.table(
+        {
+            "entity_id": pa.array(eids, type=pa.string()),
+            "attrs": pa.array([attrs_all[i] for i in last["_i"]],
+                              type=ATTRS_STRUCT),
+            "surface_forms": pa.array([sorted(forms[e]) for e in eids],
+                                      type=pa.list_(pa.string())),
+        }
+    )
+
+
+def merge_nodes(linked_flat_ds, *, num_buckets: int = 64,
+                batch_size: int = 16384):
+    """flat linked mentions -> nodes table (one row per entity).
+
+    Partial-combine-then-bucketed-merge (G4): the exchange carries only
+    per-batch entity partials, never the flat mention rows."""
+    partials = linked_flat_ds.map_batches(
+        lambda t: _partial_nodes(
+            t.filter(t["entity_id"].combine_chunks().is_valid())),
+        batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+    )
+    return bucketed_group_apply(partials, ["entity_id"], _merge_nodes_bucket,
                                 num_buckets=num_buckets)
