@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..schemas import ATTRS_STRUCT
 from ..vocab import EVIDENCE_CAP
@@ -158,6 +159,26 @@ def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64,
                                 num_buckets=num_buckets)
 
 
+def _attrs_canonical(arr: pa.Array) -> pa.Array:
+    """attrs struct -> ATTRS_STRUCT, tolerating a different field ORDER
+    (struct cast cannot reorder; callers like tests build attrs from
+    Python dicts whose field order is arbitrary). The production arrays
+    already match and pass through the cheap cast."""
+    if arr.type == ATTRS_STRUCT:
+        return arr
+    try:
+        return arr.cast(ATTRS_STRUCT)
+    except pa.ArrowInvalid:
+        pass
+    except pa.ArrowTypeError:
+        pass
+    fields = [arr.field(f.name).cast(f.type) for f in ATTRS_STRUCT]
+    mask = pc.is_null(arr)
+    return pa.StructArray.from_arrays(fields, fields=list(ATTRS_STRUCT),
+                                      mask=mask if pc.any(mask).as_py()
+                                      else None)
+
+
 def _partial_nodes(t: pa.Table) -> pa.Table:
     """Per-batch LWW partial for the node merge: one row per entity seen
     in the batch, carrying the ordering key (warc_ts, url, mention_id) of
@@ -179,7 +200,13 @@ def _partial_nodes(t: pa.Table) -> pa.Table:
     )
     ordered = df.sort_values(["entity_id", "warc_ts", "url", "mention_id"])
     last = ordered.groupby("entity_id", sort=True).tail(1)
-    attrs_all = t["attrs"].to_pylist()
+    # Arrow take, NOT to_pylist: converting every mention's attrs struct
+    # to a Python dict to keep ~|entities| of them was the measured
+    # hotspot of the whole nodes branch (9 s of a 28 s 16-CPU build)
+    attrs = t["attrs"]
+    if isinstance(attrs, pa.ChunkedArray):
+        attrs = attrs.combine_chunks()
+    sel = pa.array(last["_i"].to_numpy())
     forms = (df.groupby("entity_id", sort=True)["form"]
              .agg(lambda s: sorted(set(s))))
     eids = last["entity_id"].tolist()
@@ -191,8 +218,7 @@ def _partial_nodes(t: pa.Table) -> pa.Table:
             "url": pa.array(last["url"].tolist(), type=pa.string()),
             "mention_id": pa.array(last["mention_id"].tolist(),
                                    type=pa.string()),
-            "attrs": pa.array([attrs_all[i] for i in last["_i"]],
-                              type=ATTRS_STRUCT),
+            "attrs": _attrs_canonical(attrs.take(sel)),
             "surface_forms": pa.array([forms[e] for e in eids],
                                       type=pa.list_(pa.string())),
         }
@@ -217,7 +243,10 @@ def _merge_nodes_bucket(t: pa.Table) -> pa.Table:
     )
     ordered = df.sort_values(["entity_id", "warc_ts", "url", "mention_id"])
     last = ordered.groupby("entity_id", sort=True).tail(1)
-    attrs_all = t["attrs"].to_pylist()
+    attrs = t["attrs"]
+    if isinstance(attrs, pa.ChunkedArray):
+        attrs = attrs.combine_chunks()
+    sel = pa.array(last["_i"].to_numpy())
     forms_col = t["surface_forms"].to_pylist()
     forms: dict[str, set] = {}
     for e, fl in zip(df["entity_id"], forms_col):
@@ -226,8 +255,7 @@ def _merge_nodes_bucket(t: pa.Table) -> pa.Table:
     return pa.table(
         {
             "entity_id": pa.array(eids, type=pa.string()),
-            "attrs": pa.array([attrs_all[i] for i in last["_i"]],
-                              type=ATTRS_STRUCT),
+            "attrs": _attrs_canonical(attrs.take(sel)),
             "surface_forms": pa.array([sorted(forms[e]) for e in eids],
                                       type=pa.list_(pa.string())),
         }
