@@ -200,12 +200,16 @@ def resolve_pool_sizes(concurrency=None) -> int:
     ncpu = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
     # measured optima on the 800k-page bench: small clusters want almost
-    # everything in the pool (8 cpus: 7 actors beat 6 by 18%), larger ones
-    # need more task CPUs for the concurrent shuffle/write operators
-    # (32 cpus: 22 actors beat 26/28)
+    # everything in the pool (8 cpus: 7 actors beat 6 by 18%); larger ones
+    # settle at 3/4 of the cluster — once the output branches lost their
+    # heavy shuffles (page-local triples, node partial combine), the task
+    # side needs fewer reserved CPUs than the earlier 11/16 (measured:
+    # 24 actors at 32 cpus 17.1 s vs 22 actors 18.0 s; 12 at 16 cpus
+    # matches 11 within noise and equalizes the pool FRACTION across
+    # cluster sizes, which the N-vs-4N scaling ratio depends on)
     if ncpu <= 8:
         return max(1, ncpu - 1)
-    return max(8, ncpu * 11 // 16)
+    return max(8, ncpu * 3 // 4)
 
 
 def build_linked(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",

@@ -332,3 +332,42 @@ def test_spec_attrs_stage_over_dataset(ray_session):
     assert out[1]["activity"] == "yoga"
     assert out[1]["pocket_details"] == "kangaroo pocket"
     assert out[2]["sleeve_length"] == "unknown"
+
+
+def test_page_local_triples_matches_general_dedup(ray_session, tax):
+    # A page mentioning the SAME entity via alias + primary (duplicate
+    # attr-triple keys within the page — the case the fixture corpus never
+    # produces) plus a distinct second entity. The zero-shuffle page-local
+    # path must equal the general bucketed dedup_triples output exactly.
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.pairs import (
+        explode_mentions,
+        generate_pairs,
+    )
+    from fashion_knowledge_graph_ray.stages.triples import (
+        dedup_triples,
+        emit_attr_triples,
+        emit_rel_triples,
+        page_local_triples,
+    )
+
+    a, b = "prod-000000", "prod-000001"
+    rows = [_linked_page("u1", [a, a, b], tax),
+            _linked_page("u2", [b], tax)]
+    for r in rows:  # real attrs so attr triples (and their dups) exist
+        for m in r["mentions"][0]:
+            m["attrs"] = _attrs(type="top", color="black",
+                                style=["casual", "formal"])
+    linked = rd.from_arrow(pa.concat_tables(pa.table(r) for r in rows))
+    pairs = generate_pairs(linked, tax)
+
+    fast = sorted(map(tuple, page_local_triples(linked, pairs)
+                      .to_pandas().values.tolist()))
+    slow = sorted(map(tuple, dedup_triples(
+        emit_attr_triples(explode_mentions(linked))
+        .union(emit_rel_triples(pairs))).to_pandas().values.tolist()))
+    assert fast == slow and len(fast) > 0
+    # duplicate keys collapsed: each (subj,pred,obj,url) appears once
+    keys = [t[:4] for t in fast]
+    assert len(keys) == len(set(keys))
