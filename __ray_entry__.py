@@ -529,6 +529,64 @@ def _q_fingerprint_docs(sf_dir: str):
                          batch_format="pyarrow", zero_copy_batch=True)
 
 
+# stratified-sample rates shared by the Ray query and the generated SQL
+# oracle (the dict IS the semantics; the CASE expression is built from it)
+_STRATA_RATES = {"src0": 0.8, "src1": 0.5, "src2": 0.25}
+_STRATA_DEFAULT = 0.1
+
+
+def _q_decontam_docs(sf_dir: str):
+    # benchmark decontamination: docs with doc_id % 20 == 0 play the eval
+    # set; distinct-5-gram overlap >= 10% flags contamination. The
+    # benchmark gram set is driver-built + broadcast (eval sets are tiny
+    # vs the corpus); the corpus side is one stateless map_batches pass.
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.stages.decontam import (
+        benchmark_gram_set,
+        decontaminate,
+    )
+
+    bench_tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    ids = bench_tbl["doc_id"].to_numpy()
+    bench_tbl = bench_tbl.filter(pa.array(ids % 20 == 0))
+    bench = benchmark_gram_set(bench_tbl["text"].to_pylist(), 5)
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    return decontaminate(docs, bench, n=5, threshold_pct=10)
+
+
+def _q_stratified_sample_docs(sf_dir: str):
+    # stratified deterministic Bernoulli downsampling by source (corpus
+    # mixing): md5-threshold filter, stateless, no shuffle
+    from fashion_knowledge_graph_ray.stages.decontam import rate_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"], blocks=64)
+    return rate_sample(docs, _STRATA_RATES, key_col="source",
+                       id_col="doc_id", default_rate=_STRATA_DEFAULT)
+
+
+def _q_pack_bins_docs(sf_dir: str):
+    # GPT-style sequence packing: concatenate docs in doc_id order, cut
+    # every 512 tokens; bin = the cut containing the doc's first token.
+    # Distributed prefix sum: range partials + driver exclusive prefix +
+    # broadcast offsets (stages/corpus.py module docstring)
+    from fashion_knowledge_graph_ray.stages.corpus import pack_bins
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    return pack_bins(docs, 512, num_ranges=16)
+
+
+def _q_token_freq_docs(sf_dir: str):
+    # CCNet-style corpus-statistics scoring: distributed word count ->
+    # broadcast vocabulary -> batch-local integer-exact doc scores
+    from fashion_knowledge_graph_ray.stages.corpus import token_freq_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    return token_freq_scores(docs, rare_threshold=2)
+
+
 def _q_rrf_orders(sf_dir: str):
     # G5: RRF fusion of two top-20 rankings of orders
     import ray.data as rd
@@ -839,23 +897,28 @@ def _q_label_value_counts_events(sf_dir: str):
     return value_counts(ev, "event_type", num_buckets=8)
 
 
+_OUTFIT_QUERY = "a crimson silk blouse for party looks"
+_OUTFIT_HTML = (b"<html><body><p>Street style: a black blouse worn with "
+                b"faded jeans and white sneakers.</p></body></html>")
+
+
 def _q_outfit_text(sf_dir: str):
     # dual-profile RRF text search over the PERSISTED embeddings table
-    # (K2 + T3 + M10 + G5); hash-embedding ranks are not SQL-expressible
-    # -> rows-only
+    # (K2 + T3 + M10 + G5); oracle = sequential-reference VALUES
+    # (_outfit_text_expected_values)
     import pyarrow.parquet as pq
 
     from fashion_knowledge_graph_ray.pipelines.query import outfit_from_text
 
     res = _build_kg(sf_dir, "gazetteer")
     emb = pq.read_table(res.embeddings_path)
-    return outfit_from_text("a crimson silk blouse for party looks", emb,
-                            top_k=10)
+    return outfit_from_text(_OUTFIT_QUERY, emb, top_k=10)
 
 
 def _q_outfit_page(sf_dir: str):
     # style-match-by-page: the get_outfit_from_image analog driving the
-    # same detect/attrs/match operators at query time -> rows-only
+    # same detect/attrs/match operators at query time; oracle =
+    # sequential-reference VALUES (_outfit_page_expected_values)
     import pyarrow.parquet as pq
 
     from fashion_knowledge_graph_ray.datagen import gen_taxonomy
@@ -864,9 +927,7 @@ def _q_outfit_page(sf_dir: str):
     res = _build_kg(sf_dir, "gazetteer")
     emb = pq.read_table(res.embeddings_path)
     tax = gen_taxonomy(42)
-    html = (b"<html><body><p>Street style: a black blouse worn with "
-            b"faded jeans and white sneakers.</p></body></html>")
-    return outfit_from_page(html, tax, emb, top_k=5, threshold=0.7)
+    return outfit_from_page(_OUTFIT_HTML, tax, emb, top_k=5, threshold=0.7)
 
 
 def _q_kg_triples_embedding(sf_dir: str):
@@ -1003,6 +1064,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id_docs,
         "fingerprint_docs": _q_fingerprint_docs,
         "top_tokens_docs": _q_top_tokens_docs,
+        "decontam_docs": _q_decontam_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "pack_bins_docs": _q_pack_bins_docs,
+        "token_freq_docs": _q_token_freq_docs,
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
         "near_dup_cosine": _q_near_dup_cosine,
@@ -1025,13 +1090,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": _q_media_frame_sample,
         "preprocess_catalog_parts": _q_preprocess_catalog_parts,
         "label_value_counts_events": _q_label_value_counts_events,
-        # rows-only checks:
-        "outfit_text": _q_outfit_text,
-        "outfit_page": _q_outfit_page,
         "media_image_features": _q_media_image_features,
         "media_audio_features": _q_media_audio_features,
         "kg_triples_embedding": _q_kg_triples_embedding,
         # sequential-reference VALUES oracles (not rows-only):
+        "outfit_text": _q_outfit_text,
+        "outfit_page": _q_outfit_page,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1259,6 +1323,132 @@ def _ivf_ann_expected_values() -> tuple:
 
     return tuple(_seq_topk_rows(
         lambda qi, m: np.isin(vc, list(probe_sets[qi])), k))
+
+
+@functools.lru_cache(maxsize=1)
+def _outfit_text_expected_values() -> tuple:
+    """Independent SEQUENTIAL reference for ``outfit_text``: shares only
+    the per-row featurizer kernels (hash_embed / style_embed — the
+    hashing IS the semantics) and the M10 rewrite (SQL-checked elsewhere
+    via attr_extract_docs), and re-derives everything the query operator
+    layers on top — dual-profile top-k selection (plain ``sorted`` by
+    (-score, index) instead of ``cosine_topk``'s argpartition fast path),
+    the per-path tau cuts, and RRF fusion (plain dict accumulation
+    instead of ``rrf_scores``). The embedding index is re-derived from
+    ``gen_taxonomy(42)`` directly, which also cross-checks the PERSISTED
+    embeddings table the distributed build writes (K2)."""
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.functions.vectors import (
+        hash_embed,
+        style_embed,
+    )
+    from fashion_knowledge_graph_ray.pipelines.query import (
+        style_query_rewrite,
+    )
+
+    tax = gen_taxonomy(42)
+    ids = tax["entity_id"].to_pylist()
+    surfaces = tax["surface"].to_pylist()
+    top_k, k0 = 10, 60
+
+    def ranked(qvec: np.ndarray, index: np.ndarray, tau: float) -> list:
+        sims = (qvec @ index.T)[0]  # same matmul shape as the operator
+        order = sorted(range(len(ids)),
+                       key=lambda i: (-float(sims[i]), i))[:top_k]
+        return [ids[i] for i in order if sims[i] >= tau]
+
+    primary = ranked(hash_embed([_OUTFIT_QUERY]), hash_embed(surfaces), 0.2)
+    style = ranked(style_embed([style_query_rewrite(_OUTFIT_QUERY)]),
+                   style_embed(surfaces), 0.5)
+    sc: dict = {}
+    for lst in (primary, style):
+        for rank, eid in enumerate(lst, start=1):
+            sc[eid] = sc.get(eid, 0.0) + 1.0 / (k0 + rank)
+    fused = sorted(sc.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return tuple((e, float(s)) for e, s in fused)
+
+
+@functools.lru_cache(maxsize=1)
+def _outfit_page_expected_values() -> tuple:
+    """Independent SEQUENTIAL reference for ``outfit_page``: shares the
+    per-row kernels (extract_text / trie detection / closed-vocab attrs /
+    hash_embed — each SQL-checked through the kg_* and attr queries) and
+    re-derives the query-time matching the operator composes on top: the
+    category metadata filter, top-k selection by plain ``sorted`` over
+    allowed candidates only (instead of ``cosine_topk``'s -inf mask +
+    argpartition), the tau cut and the rank assignment."""
+    from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+    from fashion_knowledge_graph_ray.functions.html import extract_text
+    from fashion_knowledge_graph_ray.functions.vectors import hash_embed
+    from fashion_knowledge_graph_ray.stages.attributes import extract_attrs
+    from fashion_knowledge_graph_ray.stages.mentions import (
+        build_gazetteer,
+        compile_pattern,
+        detect_in_text,
+    )
+
+    tax = gen_taxonomy(42)
+    ids = tax["entity_id"].to_pylist()
+    cats = tax["category"].to_pylist()
+    index = hash_embed(tax["surface"].to_pylist())
+    top_k, threshold = 5, 0.7
+
+    text = extract_text(_OUTFIT_HTML)
+    gaz = build_gazetteer(tax)
+    mentions = detect_in_text(text, "query://page",
+                              compile_pattern(list(gaz)), gaz)
+    rows = []
+    for rec in mentions:
+        attrs = extract_attrs(rec.get("context", ""), rec.get("label"))
+        sims = (hash_embed([rec["surface"]]) @ index.T)[0]
+        allowed = [i for i in range(len(ids))
+                   if not attrs.get("type") or cats[i] == attrs["type"]]
+        order = sorted(allowed,
+                       key=lambda i: (-float(sims[i]), i))[:top_k]
+        rank = 0
+        for i in order:
+            if sims[i] < threshold:
+                continue
+            rank += 1
+            rows.append((rec["mention_id"], rec["surface"],
+                         rec.get("label"), ids[i], rank, float(sims[i])))
+    return tuple(rows)
+
+
+def _stratified_sample_sql() -> str:
+    """The md5-threshold stratified sample, generated from the SAME rates
+    dict the Ray query uses (``_STRATA_RATES`` is the semantics): a row
+    survives iff the first 8 hex digits of md5(doc_id) compare below the
+    stratum's rate cut — identical integer-free string comparison on both
+    engines."""
+    def cut(r: float) -> str:
+        return format(min(int(r * (1 << 32)), (1 << 32) - 1), "08x")
+
+    whens = " ".join(f"WHEN '{k}' THEN '{cut(r)}'"
+                     for k, r in _STRATA_RATES.items())
+    return (f"SELECT doc_id, source FROM documents "
+            f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < "
+            f"(CASE source {whens} ELSE '{cut(_STRATA_DEFAULT)}' END)")
+
+
+def _outfit_text_values_sql() -> str:
+    vals = ", ".join(f"('{e}', CAST('{s!r}' AS DOUBLE))"
+                     for e, s in _outfit_text_expected_values())
+    return (f"SELECT entity_id, rrf_score FROM (VALUES {vals}) "
+            f"AS t(entity_id, rrf_score)")
+
+
+def _outfit_page_values_sql() -> str:
+    def lit(x):
+        return "NULL" if x is None else "'" + str(x).replace("'", "''") + "'"
+
+    vals = ", ".join(
+        f"({lit(m)}, {lit(su)}, {lit(lb)}, {lit(e)}, "
+        f"CAST({r} AS BIGINT), CAST('{s!r}' AS DOUBLE))"
+        for m, su, lb, e, r, s in _outfit_page_expected_values())
+    return (f"SELECT mention_id, surface, label, entity_id, rank, score "
+            f"FROM (VALUES {vals}) "
+            f"AS t(mention_id, surface, label, entity_id, rank, score)")
 
 
 @functools.lru_cache(maxsize=1)
@@ -1823,6 +2013,79 @@ SELECT doc_id,
        greatest(de, en, es, fr) AS marker_hits
 FROM c""",
         "fingerprint_docs": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "decontam_docs": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 4),
+           i -> array_to_string(w[i:i+4], ' ')))) AS gram
+  FROM toks
+),
+bset AS (SELECT DISTINCT gram FROM g WHERE doc_id % 20 = 0),
+tot AS (SELECT doc_id, count(*) AS ngrams_total FROM g GROUP BY 1),
+hit AS (SELECT g.doc_id, count(*) AS ngrams_hit
+        FROM g JOIN bset USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(t.ngrams_total, 0) AS ngrams_total,
+       coalesce(h.ngrams_hit, 0) AS ngrams_hit,
+       (coalesce(t.ngrams_total, 0) > 0 AND
+        coalesce(h.ngrams_hit, 0) * 100 >= coalesce(t.ngrams_total, 0) * 10)
+         AS contaminated
+FROM documents d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN hit h ON d.doc_id = h.doc_id""",
+        "stratified_sample_docs": _stratified_sample_sql(),
+        "pack_bins_docs": r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS bin_id
+FROM c""",
+        "token_freq_docs": r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+u AS (SELECT doc_id, u.tok FROM t, unnest(t.toks) AS u(tok)),
+vc AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),
+per AS (
+  SELECT u.doc_id,
+         count(*) AS n_tokens,
+         CAST(sum(c) AS BIGINT) AS tf_sum,
+         CAST(sum(CAST(floor(log2(c)) AS BIGINT)) AS BIGINT)
+           AS sum_log2_floor,
+         CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rare_count
+  FROM u JOIN vc USING (tok) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       coalesce(p.tf_sum, 0) AS tf_sum,
+       coalesce(p.sum_log2_floor, 0) AS sum_log2_floor,
+       coalesce(p.rare_count, 0) AS rare_count,
+       CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+            ELSE CAST(p.tf_sum AS DOUBLE) / p.n_tokens
+       END AS mean_token_freq
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "top_tokens_docs": r"""
 WITH t AS (
   SELECT CASE WHEN trim(text) = '' THEN []
@@ -1961,6 +2224,8 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "media_audio_features": _media_values_sql("audio"),
         "minhash_dedup_docs": _minhash_values_sql(),
         "simhash_pairs_docs": _simhash_values_sql(),
+        "outfit_text": _outfit_text_values_sql(),
+        "outfit_page": _outfit_page_values_sql(),
         "lsh_ann_topk": _ann_values_sql(_lsh_ann_expected_values()),
         "ivf_ann_topk": _ann_values_sql(_ivf_ann_expected_values()),
         "media_frame_sample": """

@@ -1,0 +1,233 @@
+"""Corpus-level two-pass operators for LLM training-data preparation:
+sequence packing (distributed prefix sum) and corpus-frequency scoring.
+
+Neither exists in the reference (its pipelines are per-record,
+`/root/reference/src/engine/process_catalog.py`); both are standard
+large-corpus preparation steps and exercise a distributed pattern the
+rest of the engine doesn't: a GLOBAL ordered scan (prefix sum) and a
+corpus-wide statistic re-joined against every row.
+
+Scale shapes
+------------
+``pack_bins`` is the GPT-style "concatenate all documents in a fixed
+order, split every ``budget`` tokens" packing. The global prefix sum
+runs as the classic three-step distributed scan:
+
+1. one narrow pass computes per-doc token counts (id + int per row);
+2. range-partition on the order key, aggregate ONE partial sum per
+   range (R rows total — tiny), exclusive-prefix those R sums on the
+   driver and broadcast the offsets;
+3. a per-range ``map_groups`` sorts its slice locally and adds its
+   range's offset to the local cumulative sum.
+
+Only step 3 shuffles, and only the (id, n_tokens) projection — never
+text. Range boundaries are uniform over [min,max] of the key, which is
+balanced for dense ids (the common "doc_id assigned at ingest" case);
+for skewed keys pass explicit ``boundaries`` (e.g. sampled quantiles).
+
+``token_freq_scores`` is the CCNet-style corpus-statistics scorer: pass
+1 is the distributed word count (per-batch Counter partials, bucketed
+merge); the resulting vocabulary is broadcast once via ``ray.put`` and
+pass 2 scores every document against it batch-locally — no join
+shuffle. A web-scale vocabulary of ``\\S+`` tokens can exceed driver
+memory only because of singleton junk tokens; ``min_count`` drops
+singletons from the broadcast (misses default to count 1, which is
+EXACT for true singletons and a documented lower-bound approximation
+only for counts in (1, min_count)). The default ``min_count=1`` keeps
+the operator exactly SQL-equivalent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.textstats import tokens
+from .bucketed import bucketed_group_apply
+
+_RANGE_COL = "__range"
+
+
+def _token_count_batch(t: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    n = [len(tokens(x)) for x in t[text_col].to_pylist()]
+    return pa.table({
+        id_col: t[id_col],
+        "n_tokens": pa.array(n, type=pa.int64()),
+    })
+
+
+def pack_bins(docs_ds, budget: int, *, text_col: str = "text",
+              id_col: str = "doc_id", num_ranges: int = 64,
+              boundaries: list[int] | None = None):
+    """Assign each document to a fixed-token-budget training bin.
+
+    Documents are laid out in ascending ``id_col`` order and the
+    concatenated token stream is cut every ``budget`` tokens; a document
+    belongs to the bin containing its FIRST token (GPT-style pack-and-
+    split, where a document may straddle the cut). Output rows:
+    ``(id_col, n_tokens, start_offset, bin_id)`` with
+    ``start_offset`` = total tokens of all earlier documents and
+    ``bin_id = start_offset // budget``.
+
+    The prefix sum is computed with range partials + driver exclusive
+    prefix + broadcast offsets (see module docstring); the driver holds
+    ``num_ranges`` integers, never row data.
+    """
+    import ray
+    from ray.data.aggregate import Max, Min
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    narrow = docs_ds.map_batches(
+        lambda t: _token_count_batch(t, text_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # Materialize once: reused for range stats AND the final scan. Rows
+    # are (int64, int64) — ~16 B/doc, object-store resident, not driver.
+    narrow = narrow.materialize()
+
+    if boundaries is None:
+        lohi = narrow.aggregate(Min(id_col), Max(id_col))
+        lo, hi = lohi[f"min({id_col})"], lohi[f"max({id_col})"]
+        if lo is None:  # empty input
+            return narrow.map_batches(
+                lambda t: t.append_column(
+                    "start_offset", pa.array([], type=pa.int64()))
+                .append_column("bin_id", pa.array([], type=pa.int64())),
+                batch_format="pyarrow")
+        span = max(1, (int(hi) - int(lo) + num_ranges) // num_ranges)
+        bounds = [int(lo) + span * i for i in range(1, num_ranges)]
+    else:
+        bounds = sorted(boundaries)
+
+    bounds_arr = np.asarray(bounds, dtype=np.int64)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        r = np.searchsorted(bounds_arr, ids, side="right")
+        return t.append_column(_RANGE_COL, pa.array(r, type=pa.int64()))
+
+    tagged = narrow.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    # one int64 partial per range -> driver exclusive prefix
+    sums = tagged.groupby(_RANGE_COL).sum("n_tokens").take_all()
+    per_range = {int(r[_RANGE_COL]): int(r["sum(n_tokens)"]) for r in sums}
+    offsets = {}
+    acc = 0
+    for rid in sorted(per_range):
+        offsets[rid] = acc
+        acc += per_range[rid]
+    off_ref = ray.put(offsets) if ray.is_initialized() else offsets
+
+    out_schema = pa.schema([
+        pa.field(id_col, pa.int64()), pa.field("n_tokens", pa.int64()),
+        pa.field("start_offset", pa.int64()), pa.field("bin_id", pa.int64()),
+    ])
+
+    def scan(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:  # empty sort partition: keep schema stable
+            return out_schema.empty_table()
+        offs = off_ref if isinstance(off_ref, dict) else ray.get(off_ref)
+        rid = int(group[_RANGE_COL][0].as_py())
+        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        g = group.take(idx)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        start = offs[rid] + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({
+            id_col: g[id_col],
+            "n_tokens": g["n_tokens"],
+            "start_offset": pa.array(start, type=pa.int64()),
+            "bin_id": pa.array(start // budget, type=pa.int64()),
+        })
+
+    return tagged.groupby(_RANGE_COL).map_groups(
+        scan, batch_format="pyarrow")
+
+
+def corpus_token_counts(docs_ds, *, text_col: str = "text",
+                        num_buckets: int = 16):
+    """Distributed word count → Dataset of ``(token, n)`` rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for x in t[text_col].to_pylist():
+            c.update(tokens(x))
+        items = sorted(c.items())
+        return pa.table({
+            "token": pa.array([k for k, _ in items], type=pa.string()),
+            "n": pa.array([v for _, v in items], type=pa.int64()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("n", "sum")])
+        return pa.table({"token": g["token"], "n": g["n_sum"]})
+
+    return bucketed_group_apply(
+        docs_ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["token"], merge, num_buckets=num_buckets)
+
+
+def token_freq_scores(docs_ds, stats_ds=None, *, text_col: str = "text",
+                      id_col: str = "doc_id", rare_threshold: int = 2,
+                      min_count: int = 1):
+    """Score each document against corpus-wide token frequencies.
+
+    Output per document (all integer-exact except one final division, so
+    results are bit-identical across engines regardless of sum order):
+
+    - ``n_tokens``     total tokens,
+    - ``tf_sum``       Σ corpus-count(token)  (boilerplate mass),
+    - ``sum_log2_floor`` Σ floor(log2 corpus-count) — an integer
+      unigram-LM log-probability proxy (up to the corpus-size constant),
+      computed with ``int.bit_length`` (exactly floor(log2 n)),
+    - ``rare_count``   tokens whose corpus count ≤ ``rare_threshold``
+      (gibberish / unique-id mass),
+    - ``mean_token_freq`` = tf_sum / n_tokens (0.0 for empty docs).
+
+    ``stats_ds``: optional precomputed ``corpus_token_counts`` output;
+    recomputed from ``docs_ds`` when omitted. The vocabulary is pulled
+    once and broadcast via ``ray.put`` — see module docstring for the
+    ``min_count`` scale valve.
+    """
+    import ray
+
+    if stats_ds is None:
+        stats_ds = corpus_token_counts(docs_ds, text_col=text_col)
+    if min_count > 1:
+        stats_ds = stats_ds.filter(
+            expr=f"n >= {int(min_count)}")
+    vocab: dict = {}
+    for b in stats_ds.iter_batches(batch_format="pyarrow"):
+        vocab.update(zip(b["token"].to_pylist(),
+                         b["n"].to_numpy(zero_copy_only=False).tolist()))
+    ref = ray.put(vocab) if ray.is_initialized() else vocab
+
+    def score(t: pa.Table) -> pa.Table:
+        v = ref if isinstance(ref, dict) else ray.get(ref)
+        ids, ntk, tfs, slf, rare, mean = [], [], [], [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            tks = tokens(txt)
+            cs = [v.get(tok, 1) for tok in tks]
+            ids.append(i)
+            ntk.append(len(tks))
+            tfs.append(sum(cs))
+            slf.append(sum(c.bit_length() - 1 for c in cs))
+            rare.append(sum(1 for c in cs if c <= rare_threshold))
+            mean.append(sum(cs) / len(cs) if cs else 0.0)
+        return pa.table({
+            id_col: pa.array(ids, type=t[id_col].type),
+            "n_tokens": pa.array(ntk, type=pa.int64()),
+            "tf_sum": pa.array(tfs, type=pa.int64()),
+            "sum_log2_floor": pa.array(slf, type=pa.int64()),
+            "rare_count": pa.array(rare, type=pa.int64()),
+            "mean_token_freq": pa.array(mean, type=pa.float64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -1,0 +1,118 @@
+"""Tests for stages/corpus.py: sequence packing and corpus-frequency
+scoring (distributed results == sequential reference on the same data)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from fashion_knowledge_graph_ray.functions.textstats import tokens
+from fashion_knowledge_graph_ray.stages.corpus import (
+    corpus_token_counts,
+    pack_bins,
+    token_freq_scores,
+)
+
+
+def _docs(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    words = ["red", "blue", "silk", "denim", "jacket", "dress", "x1",
+             "zz9", "the", "a"]
+    texts = [
+        " ".join(rng.choice(words, size=int(rng.integers(0, 12))))
+        for _ in range(n)
+    ]
+    texts[5] = ""           # empty doc
+    texts[6] = "   "        # whitespace-only doc
+    # non-dense, shuffled ids: exercises range partitioning on gaps
+    ids = rng.permutation(np.arange(0, n * 3, 3)).tolist()
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def test_pack_bins_matches_sequential(ray_session):
+    tbl = _docs()
+    ds = rd.from_arrow(tbl).repartition(9)
+    out = pack_bins(ds, 32, num_ranges=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    order = sorted(range(tbl.num_rows),
+                   key=lambda i: tbl["doc_id"][i].as_py())
+    off, exp = 0, {}
+    for i in order:
+        n = len(tokens(tbl["text"][i].as_py()))
+        exp[tbl["doc_id"][i].as_py()] = (n, off, off // 32)
+        off += n
+
+    assert len(out) == tbl.num_rows
+    for _, row in out.iterrows():
+        n, start, b = exp[row["doc_id"]]
+        assert (row["n_tokens"], row["start_offset"], row["bin_id"]) \
+            == (n, start, b)
+
+
+def test_pack_bins_explicit_boundaries_same_result(ray_session):
+    tbl = _docs(80)
+    ds = rd.from_arrow(tbl).repartition(5)
+    a = pack_bins(ds, 16, num_ranges=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = pack_bins(ds, 16, boundaries=[40, 100, 170]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_pack_bins_rejects_bad_budget(ray_session):
+    ds = rd.from_arrow(_docs(10))
+    with pytest.raises(ValueError):
+        pack_bins(ds, 0)
+
+
+def test_corpus_token_counts(ray_session):
+    tbl = _docs(150)
+    ds = rd.from_arrow(tbl).repartition(6)
+    got = {r["token"]: r["n"]
+           for r in corpus_token_counts(ds).take_all()}
+    from collections import Counter
+
+    exp = Counter()
+    for t in tbl["text"].to_pylist():
+        exp.update(tokens(t))
+    assert got == dict(exp)
+
+
+def test_token_freq_scores_matches_sequential(ray_session):
+    tbl = _docs(150)
+    ds = rd.from_arrow(tbl).repartition(6)
+    out = token_freq_scores(ds, rare_threshold=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    from collections import Counter
+
+    vocab = Counter()
+    for t in tbl["text"].to_pylist():
+        vocab.update(tokens(t))
+    for i in range(tbl.num_rows):
+        did = tbl["doc_id"][i].as_py()
+        tks = tokens(tbl["text"][i].as_py())
+        cs = [vocab[t] for t in tks]
+        row = out[out["doc_id"] == did].iloc[0]
+        assert row["n_tokens"] == len(tks)
+        assert row["tf_sum"] == sum(cs)
+        assert row["sum_log2_floor"] == sum(c.bit_length() - 1 for c in cs)
+        assert row["rare_count"] == sum(1 for c in cs if c <= 2)
+        assert row["mean_token_freq"] == (sum(cs) / len(cs) if cs else 0.0)
+
+
+def test_token_freq_min_count_lower_bounds(ray_session):
+    # approximate regime: singletons dropped from the broadcast default
+    # to count 1 (exact); counts in (1, min_count) floor to 1
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["aa aa aa bb bb cc", "aa cc"], type=pa.string()),
+    })
+    ds = rd.from_arrow(tbl).repartition(2)
+    out = token_freq_scores(ds, min_count=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # aa count=4 kept; bb count=2 dropped->1; cc count=2 dropped->1
+    assert out.iloc[0]["tf_sum"] == 4 * 3 + 1 * 2 + 1
+    assert out.iloc[1]["tf_sum"] == 4 + 1
