@@ -587,6 +587,49 @@ def _q_token_freq_docs(sf_dir: str):
     return token_freq_scores(docs, rare_threshold=2)
 
 
+# per-mille quantile targets shared by the Ray query and the generated
+# SQL oracle (integer per-mille => pure integer rank arithmetic on both)
+_QUANTILES_PERMILLE = [10, 250, 500, 900, 990]
+
+
+def _q_asof_join_events(sf_dir: str):
+    # as-of (backward) join: each event matched to the user's latest
+    # order at or before the event time; one bucketed shuffle + per-
+    # bucket merge_asof (DuckDB mirror: native ASOF JOIN)
+    from fashion_knowledge_graph_ray.stages.relational import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"], blocks=64)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"], blocks=16)
+    return asof_join(ev, orders, key="user_id", right_key="o_custkey",
+                     left_time="ts", right_time="o_orderdate",
+                     tie_col="o_orderkey")
+
+
+def _q_quantiles_events(sf_dir: str):
+    # exact distributed quantiles by range-partitioned rank selection —
+    # no full sort, the driver sees only per-range counts
+    from fashion_knowledge_graph_ray.stages.corpus import exact_quantiles
+
+    ev = _read(sf_dir, "events", ["value"], blocks=64)
+    return exact_quantiles(ev, "value", _QUANTILES_PERMILLE,
+                           num_ranges=32)
+
+
+def _quantiles_events_sql() -> str:
+    """Rank-selection mirror generated from the SAME per-mille list the
+    Ray query uses; rank = max(1, ceil(p*n/1000)) in integer arithmetic
+    on both engines."""
+    legs = " UNION ALL ".join(
+        f"SELECT CAST({p} AS BIGINT) AS q_permille, "
+        f"CAST(greatest(1, ({p} * n + 999) // 1000) AS BIGINT) AS rank, "
+        f"value FROM s WHERE rn = greatest(1, ({p} * n + 999) // 1000)"
+        for p in _QUANTILES_PERMILLE)
+    return ("WITH s AS (SELECT value, "
+            "row_number() OVER (ORDER BY value) AS rn, "
+            "count(*) OVER () AS n FROM events) " + legs)
+
+
 def _q_rrf_orders(sf_dir: str):
     # G5: RRF fusion of two top-20 rankings of orders
     import ray.data as rd
@@ -1068,6 +1111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_docs": _q_stratified_sample_docs,
         "pack_bins_docs": _q_pack_bins_docs,
         "token_freq_docs": _q_token_freq_docs,
+        "asof_join_events": _q_asof_join_events,
+        "quantiles_events": _q_quantiles_events,
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
         "near_dup_cosine": _q_near_dup_cosine,
@@ -2086,6 +2131,15 @@ SELECT d.doc_id,
             ELSE CAST(p.tf_sum AS DOUBLE) / p.n_tokens
        END AS mean_token_freq
 FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
+        "asof_join_events": """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_orderdate
+FROM events e ASOF JOIN r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
+        "quantiles_events": _quantiles_events_sql(),
         "top_tokens_docs": r"""
 WITH t AS (
   SELECT CASE WHEN trim(text) = '' THEN []

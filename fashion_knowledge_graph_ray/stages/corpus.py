@@ -231,3 +231,92 @@ def token_freq_scores(docs_ds, stats_ds=None, *, text_col: str = "text",
 
     return docs_ds.map_batches(score, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+def exact_quantiles(ds, col: str, qs_permille: list[int], *,
+                    num_ranges: int = 64):
+    """EXACT distributed quantiles by rank selection — no full sort, no
+    driver materialization of values.
+
+    For each ``p`` in ``qs_permille`` the result row is the value at
+    1-based rank ``max(1, ceil(p*n/1000))`` of the column sorted
+    ascending (n = row count). Quantiles are specified in integer
+    per-mille so the rank computation is pure integer arithmetic —
+    bit-identical across engines (``0.1*n`` in binary floating point is
+    not, and DuckDB would evaluate it in decimal).
+
+    Shape: one narrow pass projects the column; values range-partition on
+    uniform [min,max] cuts; per-range COUNTS (``num_ranges`` ints) come
+    to the driver, which locates each target rank's range and local rank;
+    only the ranges that hold a target sort locally and pick their
+    element. The driver never holds values, and the exchange is one
+    groupby of the single-column projection. Uniform cuts assume a
+    roughly uniform value distribution (fine for scores/measures); for
+    heavy skew the same machinery accepts more ranges.
+
+    Returns a tiny Dataset: ``(q_permille, rank, value)``.
+    """
+    import math
+
+    import ray
+
+    narrow = ds.select_columns([col]).materialize()
+    n = narrow.count()
+    out_schema = pa.schema([
+        pa.field("q_permille", pa.int64()), pa.field("rank", pa.int64()),
+        pa.field("value", ds.schema().types[ds.schema().names.index(col)]),
+    ])
+    if n == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
+
+    from ray.data.aggregate import Max, Min
+
+    lohi = narrow.aggregate(Min(col), Max(col))
+    lo, hi = float(lohi[f"min({col})"]), float(lohi[f"max({col})"])
+    if math.isfinite(lo) and math.isfinite(hi) and hi > lo:
+        step = (hi - lo) / num_ranges
+        bounds = np.array([lo + step * i for i in range(1, num_ranges)])
+    else:
+        bounds = np.array([])  # constant/degenerate column: one range
+
+    def tag(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        r = np.searchsorted(bounds, v, side="right")
+        return t.append_column(_RANGE_COL, pa.array(r, type=pa.int64()))
+
+    tagged = narrow.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    counts = {int(r[_RANGE_COL]): int(r["count()"])
+              for r in tagged.groupby(_RANGE_COL).count().take_all()}
+
+    targets: dict[int, list[tuple[int, int]]] = {}
+    cum = 0
+    ranks = {p: max(1, -(-p * n // 1000)) for p in qs_permille}
+    for rid in sorted(counts):
+        cnt = counts[rid]
+        for p, k in ranks.items():
+            if cum < k <= cum + cnt:
+                targets.setdefault(rid, []).append((p, k - cum))
+        cum += cnt
+    t_ref = ray.put(targets) if ray.is_initialized() else targets
+
+    def pick(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return out_schema.empty_table()
+        tg = t_ref if isinstance(t_ref, dict) else ray.get(t_ref)
+        rid = int(group[_RANGE_COL][0].as_py())
+        want = tg.get(rid)
+        if not want:
+            return out_schema.empty_table()
+        v = np.sort(group[col].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "q_permille": pa.array([p for p, _ in want], type=pa.int64()),
+            "rank": pa.array([ranks[p] for p, _ in want], type=pa.int64()),
+            "value": pa.array([v[lk - 1] for _, lk in want],
+                              type=out_schema.field("value").type),
+        })
+
+    return tagged.groupby(_RANGE_COL).map_groups(
+        pick, batch_format="pyarrow")

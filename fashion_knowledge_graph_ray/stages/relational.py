@@ -348,3 +348,86 @@ def dedup_keep_first(ds, key_col: str, order_cols: list[str], *,
 
     return bucketed_group_apply(ds, [key_col], bucket,
                                 num_buckets=num_buckets)
+
+
+def asof_join(left_ds, right_ds, *, key: str, right_key: str,
+              left_time: str, right_time: str, tie_col: str | None = None,
+              num_buckets: int = 64):
+    """As-of (backward) join: for each left row, attach the right row with
+    the same key and the LARGEST ``right_time`` <= ``left_time``; left
+    rows with no prior right row are dropped (inner semantics).
+
+    Ray Data has no native as-of join; this composes it from the engine's
+    shuffle primitives: both sides hash-shuffle ONCE on the key (the
+    ``shuffle_join`` side-tag trick — the right key rides in the left key
+    column so one bucket column covers both), and each bucket resolves
+    locally with pandas ``merge_asof`` — a vectorized O(n log n) sorted
+    merge. No driver materialization; the only exchange is the one
+    bucketed shuffle both equi-join variants already pay.
+
+    ``tie_col``: when several right rows share (key, right_time), keep the
+    one with the max ``tie_col`` (bucket-local dedup, free — the rows are
+    already co-located). Without it, (key, right_time) must be unique or
+    the surviving row is partition-dependent.
+
+    Output columns: all left columns + right columns except ``right_key``
+    (suffixed ``_r`` on collision). DuckDB mirror:
+    ``FROM l ASOF JOIN r ON l.key = r.key AND l.t >= r.t``.
+    """
+    ls, rs = left_ds.schema(), right_ds.schema()
+    l_names = list(ls.names)
+    l_types = dict(zip(ls.names, ls.types))
+    r_names = [n for n in rs.names if n != right_key]
+    r_types = dict(zip(rs.names, rs.types))
+    out_r = {n: (n + "_r" if n in l_names else n) for n in r_names}
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in l_names}
+        for n in r_names:
+            cols[out_r[n]] = pa.nulls(t.num_rows, type=r_types[n])
+        cols["__side"] = pa.array([0] * t.num_rows, type=pa.int64())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for n in l_names:
+            cols[n] = (t[right_key].cast(l_types[key]) if n == key
+                       else pa.nulls(t.num_rows, type=l_types[n]))
+        for n in r_names:
+            cols[out_r[n]] = t[n]
+        cols["__side"] = pa.array([1] * t.num_rows, type=pa.int64())
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    r_out_names = [out_r[n] for n in r_names]
+    rt_out = out_r[right_time]
+    out_types = {**{n: l_types[n] for n in l_names},
+                 **{out_r[n]: r_types[n] for n in r_names}}
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(l_names)
+        rt = t.filter(pa.array(side == 1)).select([key] + r_out_names)
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        if tie_col is not None and len(rdf):
+            rdf = (rdf.sort_values([key, rt_out, out_r[tie_col]])
+                   .drop_duplicates([key, rt_out], keep="last"))
+        ldf = ldf.sort_values(left_time, kind="mergesort")
+        rdf = rdf.sort_values(rt_out, kind="mergesort")
+        m = pd.merge_asof(ldf, rdf, left_on=left_time, right_on=rt_out,
+                          by=key, direction="backward",
+                          allow_exact_matches=True)
+        m = m[m[rt_out].notna()]  # inner: drop left rows with no match
+        cols = {}
+        for n in l_names + r_out_names:
+            s = m[n].astype(object).where(pd.notna(m[n]), None)
+            cols[n] = pa.array(s.tolist(), type=out_types[n])
+        return pa.table(cols)
+
+    return bucketed_group_apply(both, [key], join_bucket,
+                                num_buckets=num_buckets)
