@@ -32,6 +32,8 @@ QUERY_NAMES = [
     "broadcast_join_lineitem", "jaccard_ngram_pairs_docs", "kg_edges",
     "kg_edges_canonical", "preprocess_catalog_parts", "attr_extract_docs",
     "anti_join_customers", "shuffle_join_orders", "hopping_window_events",
+    "token_freq_docs", "pack_bins_docs", "decontam_docs",
+    "asof_join_events", "quantiles_events",
 ]
 
 

@@ -261,19 +261,18 @@ def exact_quantiles(ds, col: str, qs_permille: list[int], *,
     import ray
 
     narrow = ds.select_columns([col]).materialize()
-    n = narrow.count()
     out_schema = pa.schema([
         pa.field("q_permille", pa.int64()), pa.field("rank", pa.int64()),
         pa.field("value", ds.schema().types[ds.schema().names.index(col)]),
     ])
-    if n == 0:
-        import ray.data as rd
-
-        return rd.from_arrow(out_schema.empty_table())
 
     from ray.data.aggregate import Max, Min
 
     lohi = narrow.aggregate(Min(col), Max(col))
+    if lohi is None or lohi[f"min({col})"] is None:  # empty input
+        import ray.data as rd
+
+        return rd.from_arrow(out_schema.empty_table())
     lo, hi = float(lohi[f"min({col})"]), float(lohi[f"max({col})"])
     if math.isfinite(lo) and math.isfinite(hi) and hi > lo:
         step = (hi - lo) / num_ranges
@@ -290,6 +289,7 @@ def exact_quantiles(ds, col: str, qs_permille: list[int], *,
                                 zero_copy_batch=True)
     counts = {int(r[_RANGE_COL]): int(r["count()"])
               for r in tagged.groupby(_RANGE_COL).count().take_all()}
+    n = sum(counts.values())  # total rows, free from the range counts
 
     targets: dict[int, list[tuple[int, int]]] = {}
     cum = 0
