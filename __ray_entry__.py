@@ -606,6 +606,30 @@ def _q_asof_join_events(sf_dir: str):
                      tie_col="o_orderkey")
 
 
+def _q_band_join_events(sf_dir: str):
+    # range (band) join: same-type event pairs with values within 0.01 —
+    # value-grid shuffle (cells of width 2*eps, left side replicated to
+    # <=2 cells) + per-cell vectorized merge; no inequality-join support
+    # needed from the engine. Post-filter keeps one direction (a < b).
+    from fashion_knowledge_graph_ray.stages.relational import band_join
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"],
+               blocks=32)
+    out = band_join(ev, ev, left_val="value", right_val="value",
+                    eps=0.01, key=["event_type"])
+
+    def one_direction(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.less(t["event_id"], t["event_id_r"]))
+        # event_type_r == event_type by the equi key: drop the duplicate
+        return t.select(["event_id", "event_type", "value",
+                         "event_id_r", "value_r"])
+
+    return out.map_batches(one_direction, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_quantiles_events(sf_dir: str):
     # exact distributed quantiles by range-partitioned rank selection —
     # no full sort, the driver sees only per-range counts
@@ -1112,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_bins_docs": _q_pack_bins_docs,
         "token_freq_docs": _q_token_freq_docs,
         "asof_join_events": _q_asof_join_events,
+        "band_join_events": _q_band_join_events,
         "quantiles_events": _q_quantiles_events,
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
@@ -2139,6 +2164,13 @@ WITH r AS (
 SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_orderdate
 FROM events e ASOF JOIN r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
+        "band_join_events": """
+SELECT a.event_id, a.event_type, a.value,
+       b.event_id AS event_id_r, b.value AS value_r
+FROM events a JOIN events b
+  ON a.event_type = b.event_type
+ AND b.value >= a.value - 0.01 AND b.value <= a.value + 0.01
+ AND a.event_id < b.event_id""",
         "quantiles_events": _quantiles_events_sql(),
         "top_tokens_docs": r"""
 WITH t AS (

@@ -33,7 +33,7 @@ QUERY_NAMES = [
     "kg_edges_canonical", "preprocess_catalog_parts", "attr_extract_docs",
     "anti_join_customers", "shuffle_join_orders", "hopping_window_events",
     "token_freq_docs", "pack_bins_docs", "decontam_docs",
-    "asof_join_events", "quantiles_events",
+    "asof_join_events", "band_join_events", "quantiles_events",
 ]
 
 

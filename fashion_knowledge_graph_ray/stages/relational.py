@@ -431,3 +431,115 @@ def asof_join(left_ds, right_ds, *, key: str, right_key: str,
 
     return bucketed_group_apply(both, [key], join_bucket,
                                 num_buckets=num_buckets)
+
+
+def band_join(left_ds, right_ds, *, left_val: str, right_val: str,
+              eps: float, key: list[str] | None = None,
+              right_keys: list[str] | None = None, suffix: str = "_r",
+              num_buckets: int = 64):
+    """Range (band) join: left row L matches right row R when
+    ``|L.left_val - R.right_val| <= eps`` (and the optional equi ``key``
+    columns agree). Inner semantics; rows with a null value are dropped.
+
+    Ray Data has no inequality join; the scale shape is a VALUE-GRID
+    shuffle: cells of width ``2*eps`` on a fixed grid, the LEFT side
+    replicated to the (at most two) cells its band overlaps, the right
+    side landing in its own cell only — so a qualifying pair meets in
+    EXACTLY one cell (the right row's) and needs no post-dedup. The
+    exchange is one bucketed shuffle on (key..., cell); each cell
+    resolves with a vectorized pandas equi-merge + band mask. Candidate
+    volume per cell is bounded by the data's density within ``2*eps``,
+    which is exactly the selectivity the caller chose via ``eps``.
+
+    Output columns: all left columns + right columns (suffixed on
+    collision). DuckDB mirror: a plain inequality join
+    ``ON l.k = r.k AND r.v BETWEEN l.v - eps AND l.v + eps``.
+    """
+    import numpy as np
+
+    if eps <= 0:
+        raise ValueError("eps must be positive")
+    key = list(key or [])
+    rkey = list(right_keys or key)
+    if len(rkey) != len(key):
+        raise ValueError("right_keys must match key length")
+    w = 2.0 * float(eps)
+
+    ls, rs = left_ds.schema(), right_ds.schema()
+    l_names = list(ls.names)
+    l_types = dict(zip(ls.names, ls.types))
+    r_names = list(rs.names)
+    r_types = dict(zip(rs.names, rs.types))
+    out_r = {n: (n + suffix if n in l_names else n) for n in r_names}
+    rk_map = dict(zip(rkey, key))  # right key col -> left key col name
+    CELL = "__vcell"
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        v = t[left_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(v)
+        t = t.filter(pa.array(ok))
+        v = v[ok]
+        lo = np.floor((v - eps) / w).astype(np.int64)
+        hi = np.floor((v + eps) / w).astype(np.int64)
+        reps = (hi - lo + 1).astype(np.int64)  # 1 or 2 cells
+        idx = np.repeat(np.arange(len(v)), reps)
+        # within-row offset 0..rep-1, flattened without a Python loop
+        offs = (np.arange(len(idx), dtype=np.int64)
+                - np.repeat(np.cumsum(reps) - reps, reps))
+        cells = lo[idx] + offs
+        rep = t.take(pa.array(idx))
+        cols = {n: rep[n] for n in l_names}
+        for n in r_names:
+            cols[out_r[n]] = pa.nulls(rep.num_rows, type=r_types[n])
+        cols[CELL] = pa.array(cells, type=pa.int64())
+        cols["__side"] = pa.array([0] * rep.num_rows, type=pa.int64())
+        return pa.table(cols)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        v = t[right_val].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(v)
+        t = t.filter(pa.array(ok))
+        v = v[ok]
+        cols = {}
+        for n in l_names:
+            cols[n] = pa.nulls(t.num_rows, type=l_types[n])
+        for rk in rkey:  # right key values ride in the left key columns
+            cols[rk_map[rk]] = t[rk].cast(l_types[rk_map[rk]])
+        for n in r_names:
+            cols[out_r[n]] = t[n]
+        cols[CELL] = pa.array(np.floor(v / w).astype(np.int64),
+                              type=pa.int64())
+        cols["__side"] = pa.array([1] * t.num_rows, type=pa.int64())
+        return pa.table(cols)
+
+    both = left_ds.map_batches(tag_left, batch_format="pyarrow",
+                               zero_copy_batch=True).union(
+        right_ds.map_batches(tag_right, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    r_out_names = [out_r[n] for n in r_names]
+    rv_out = out_r[right_val]
+    out_types = {**{n: l_types[n] for n in l_names},
+                 **{out_r[n]: r_types[n] for n in r_names}}
+
+    def join_cell(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        lt = t.filter(pa.array(side == 0)).select(l_names + [CELL])
+        rt = t.filter(pa.array(side == 1)).select(key + r_out_names
+                                                  + [CELL])
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        m = ldf.merge(rdf, on=key + [CELL], how="inner") \
+            if key else ldf.merge(rdf, on=CELL, how="inner")
+        if len(m):
+            lv = m[left_val].to_numpy(dtype=np.float64)
+            rv = m[rv_out].to_numpy(dtype=np.float64)
+            m = m[(rv >= lv - eps) & (rv <= lv + eps)]
+        cols = {}
+        for n in l_names + r_out_names:
+            s = m[n].astype(object).where(pd.notna(m[n]), None)
+            cols[n] = pa.array(s.tolist(), type=out_types[n])
+        return pa.table(cols)
+
+    return bucketed_group_apply(both, key + [CELL], join_cell,
+                                num_buckets=num_buckets)

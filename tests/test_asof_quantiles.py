@@ -108,3 +108,49 @@ def test_exact_quantiles_empty(ray_session):
     # Dataset-level schema survives even though Ray's to_pandas() drops
     # columns for 0-row datasets
     assert sorted(out.schema().names) == ["q_permille", "rank", "value"]
+
+
+def test_band_join_matches_sequential(ray_session):
+    from fashion_knowledge_graph_ray.stages.relational import band_join
+
+    rng = np.random.default_rng(23)
+    n = 500
+    left = pa.table({
+        "lid": pa.array(range(n), type=pa.int64()),
+        "g": pa.array(rng.integers(0, 3, n), type=pa.int64()),
+        "v": pa.array(rng.uniform(0, 20, n)),
+    })
+    right = pa.table({
+        "rid": pa.array(range(n, 2 * n), type=pa.int64()),
+        "g2": pa.array(rng.integers(0, 3, n), type=pa.int64()),
+        "u": pa.array(rng.uniform(0, 20, n)),
+    })
+    eps = 0.05
+    out = band_join(rd.from_arrow(left).repartition(5),
+                    rd.from_arrow(right).repartition(4),
+                    left_val="v", right_val="u", eps=eps,
+                    key=["g"], right_keys=["g2"],
+                    num_buckets=8).to_pandas()
+
+    ldf, rdf = left.to_pandas(), right.to_pandas().rename(columns={"g2": "g"})
+    exp = ldf.merge(rdf, on="g")
+    exp = exp[(exp["u"] >= exp["v"] - eps) & (exp["u"] <= exp["v"] + eps)]
+    assert len(out) == len(exp)
+    got = set(zip(out["lid"], out["rid"]))
+    want = set(zip(exp["lid"], exp["rid"]))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_band_join_keyless_and_boundary(ray_session):
+    from fashion_knowledge_graph_ray.stages.relational import band_join
+
+    # values exactly eps apart must match (inclusive band); NaN dropped
+    left = pa.table({"lid": pa.array([1, 2], type=pa.int64()),
+                     "v": pa.array([1.0, float("nan")])})
+    right = pa.table({"rid": pa.array([10, 11, 12], type=pa.int64()),
+                      "u": pa.array([1.5, 1.51, 0.5])})
+    out = band_join(rd.from_arrow(left), rd.from_arrow(right),
+                    left_val="v", right_val="u", eps=0.5,
+                    num_buckets=4).to_pandas()
+    assert set(zip(out["lid"], out["rid"])) == {(1, 10), (1, 12)}
