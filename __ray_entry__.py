@@ -606,6 +606,28 @@ def _q_asof_join_events(sf_dir: str):
                      tie_col="o_orderkey")
 
 
+def _q_shuffle_rank_docs(sf_dir: str):
+    # deterministic global training shuffle: rank every doc by md5(id)
+    # via the sample-partitioned global-index primitive (zipWithIndex);
+    # seed-free, partitioning-independent, one bucketed exchange
+    from fashion_knowledge_graph_ray.stages.corpus import with_global_index
+    from fashion_knowledge_graph_ray.stages.relational import md5_of_id
+
+    docs = _read(sf_dir, "documents", ["doc_id"], blocks=64)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "md5k", pa.array(md5_of_id(t["doc_id"].to_pylist()),
+                             type=pa.string()))
+
+    keyed = docs.map_batches(add_key, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    out = with_global_index(keyed, "md5k", index_col="shuffle_pos",
+                            num_ranges=16)
+    return out.map_batches(lambda t: t.select(["doc_id", "shuffle_pos"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_band_join_events(sf_dir: str):
     # range (band) join: same-type event pairs with values within 0.01 —
     # value-grid shuffle (cells of width 2*eps, left side replicated to
@@ -1137,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_docs": _q_token_freq_docs,
         "asof_join_events": _q_asof_join_events,
         "band_join_events": _q_band_join_events,
+        "shuffle_rank_docs": _q_shuffle_rank_docs,
         "quantiles_events": _q_quantiles_events,
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
@@ -2164,6 +2187,11 @@ WITH r AS (
 SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_orderdate
 FROM events e ASOF JOIN r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
+        "shuffle_rank_docs": """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))
+            - 1 AS BIGINT) AS shuffle_pos
+FROM documents""",
         "band_join_events": """
 SELECT a.event_id, a.event_type, a.value,
        b.event_id AS event_id_r, b.value AS value_r

@@ -320,3 +320,76 @@ def exact_quantiles(ds, col: str, qs_permille: list[int], *,
 
     return tagged.groupby(_RANGE_COL).map_groups(
         pick, batch_format="pyarrow")
+
+
+def with_global_index(ds, order_col: str, *, index_col: str = "index",
+                      num_ranges: int = 64, samples_per_block: int = 8):
+    """Attach a contiguous 0-based global rank by ascending ``order_col``
+    (the zipWithIndex / row_number primitive Ray Data lacks) — used for
+    deterministic corpus shuffling (rank by ``md5(id)``) and training
+    shard assignment (``rank // shard_size``).
+
+    ``order_col`` must be duplicate-free (an id or a cryptographic hash
+    of one) so the total order — and therefore every rank — is unique
+    and partitioning-independent.
+
+    Scale shape: range boundaries come from a per-block sample (up to
+    ``samples_per_block`` evenly spaced sorted keys per block — the
+    TeraSort partitioner; sampling skew only affects load balance, never
+    ranks); per-range COUNTS roll up to the driver (``num_ranges`` ints)
+    for an exclusive prefix, and each range sorts locally and adds its
+    offset. One bucketed exchange of the full rows; the driver never
+    holds row data.
+    """
+    import ray
+
+    def sample_keys(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], type=t[order_col].type)})
+        arr = t[order_col]
+        idx = pc.sort_indices(arr)
+        take = np.linspace(0, t.num_rows - 1,
+                           min(samples_per_block, t.num_rows)).astype(int)
+        return pa.table({"k": arr.take(idx.take(pa.array(take)))})
+
+    sample = [r["k"] for r in
+              ds.map_batches(sample_keys, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()]
+    sample.sort()
+    if len(sample) > 1:
+        cut_idx = np.linspace(0, len(sample) - 1, num_ranges + 1)[1:-1]
+        bounds = sorted({sample[int(i)] for i in cut_idx})
+    else:
+        bounds = []
+
+    def tag(t: pa.Table) -> pa.Table:
+        if not bounds:
+            r = np.zeros(t.num_rows, dtype=np.int64)
+        else:
+            keys = np.asarray(t[order_col].to_pylist())
+            r = np.searchsorted(np.asarray(bounds), keys, side="right")
+        return t.append_column(_RANGE_COL, pa.array(r, type=pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    counts = {int(r[_RANGE_COL]): int(r["count()"])
+              for r in tagged.groupby(_RANGE_COL).count().take_all()}
+    offsets, acc = {}, 0
+    for rid in sorted(counts):
+        offsets[rid] = acc
+        acc += counts[rid]
+    off_ref = ray.put(offsets) if ray.is_initialized() else offsets
+
+    def assign(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return group.drop_columns([_RANGE_COL]).append_column(
+                index_col, pa.array([], type=pa.int64()))
+        offs = off_ref if isinstance(off_ref, dict) else ray.get(off_ref)
+        rid = int(group[_RANGE_COL][0].as_py())
+        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        g = group.take(idx).drop_columns([_RANGE_COL])
+        return g.append_column(index_col, pa.array(
+            offs[rid] + np.arange(g.num_rows), type=pa.int64()))
+
+    return tagged.groupby(_RANGE_COL).map_groups(
+        assign, batch_format="pyarrow")

@@ -116,3 +116,31 @@ def test_token_freq_min_count_lower_bounds(ray_session):
     # aa count=4 kept; bb count=2 dropped->1; cc count=2 dropped->1
     assert out.iloc[0]["tf_sum"] == 4 * 3 + 1 * 2 + 1
     assert out.iloc[1]["tf_sum"] == 4 + 1
+
+
+def test_with_global_index(ray_session):
+    from fashion_knowledge_graph_ray.stages.corpus import with_global_index
+
+    rng = np.random.default_rng(31)
+    keys = [f"{x:08x}" for x in rng.choice(2**32, 700, replace=False)]
+    tbl = pa.table({"k": pa.array(keys, type=pa.string()),
+                    "payload": pa.array(range(700), type=pa.int64())})
+    out = with_global_index(
+        rd.from_arrow(tbl).repartition(8), "k", index_col="idx",
+        num_ranges=5).to_pandas().sort_values("idx")
+    # contiguous 0..n-1 ranks, ascending with the key order
+    assert out["idx"].tolist() == list(range(700))
+    assert out["k"].is_monotonic_increasing
+    # payload rides through untouched
+    exp = sorted(range(700), key=lambda i: keys[i])
+    assert out["payload"].tolist() == exp
+
+
+def test_with_global_index_single_block(ray_session):
+    from fashion_knowledge_graph_ray.stages.corpus import with_global_index
+
+    tbl = pa.table({"k": pa.array(["b", "a", "c"], type=pa.string())})
+    out = with_global_index(rd.from_arrow(tbl), "k").to_pandas() \
+        .sort_values("index")
+    assert out["k"].tolist() == ["a", "b", "c"]
+    assert out["index"].tolist() == [0, 1, 2]
