@@ -606,6 +606,15 @@ def _q_asof_join_events(sf_dir: str):
                      tie_col="o_orderkey")
 
 
+def _q_tfidf_topk_docs(sf_dir: str):
+    # top-3 keywords per doc by quantized tf-idf (integer score so both
+    # engines rank bit-identically); df table broadcast, scoring local
+    from fashion_knowledge_graph_ray.stages.corpus import tfidf_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    return tfidf_topk(docs, 3)
+
+
 def _q_shuffle_rank_docs(sf_dir: str):
     # deterministic global training shuffle: rank every doc by md5(id)
     # via the sample-partitioned global-index primitive (zipWithIndex);
@@ -1160,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _q_asof_join_events,
         "band_join_events": _q_band_join_events,
         "shuffle_rank_docs": _q_shuffle_rank_docs,
+        "tfidf_topk_docs": _q_tfidf_topk_docs,
         "quantiles_events": _q_quantiles_events,
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
@@ -2187,6 +2197,30 @@ WITH r AS (
 SELECT e.event_id, e.ts, e.user_id, r.o_orderkey, r.o_orderdate
 FROM events e ASOF JOIN r
   ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""",
+        "tfidf_topk_docs": r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM documents
+),
+u AS (SELECT doc_id, u.tok FROM t, unnest(t.toks) AS u(tok)),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM u GROUP BY 1, 2),
+df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM u GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.tok,
+         CAST(tf.tf * ((1000 * n.nd) // df.df) AS BIGINT) AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+),
+r AS (
+  SELECT doc_id, tok, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok) AS rn
+  FROM sc
+)
+SELECT doc_id, tok AS token, score, CAST(rn AS BIGINT) AS rank
+FROM r WHERE rn <= 3""",
         "shuffle_rank_docs": """
 SELECT doc_id,
        CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)))

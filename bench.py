@@ -34,6 +34,7 @@ QUERY_NAMES = [
     "anti_join_customers", "shuffle_join_orders", "hopping_window_events",
     "token_freq_docs", "pack_bins_docs", "decontam_docs",
     "asof_join_events", "band_join_events", "quantiles_events",
+    "tfidf_topk_docs", "shuffle_rank_docs",
 ]
 
 

@@ -393,3 +393,86 @@ def with_global_index(ds, order_col: str, *, index_col: str = "index",
 
     return tagged.groupby(_RANGE_COL).map_groups(
         assign, batch_format="pyarrow")
+
+
+def doc_frequencies(docs_ds, *, text_col: str = "text",
+                    num_buckets: int = 16):
+    """Distributed DOCUMENT frequency: ``(token, df)`` with df = number
+    of documents containing the token (per-batch distinct-per-doc
+    partials, bucketed merge — same exchange shape as the word count)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for x in t[text_col].to_pylist():
+            c.update(set(tokens(x)))
+        items = sorted(c.items())
+        return pa.table({
+            "token": pa.array([k for k, _ in items], type=pa.string()),
+            "df": pa.array([v for _, v in items], type=pa.int64()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["token"]).aggregate([("df", "sum")])
+        return pa.table({"token": g["token"], "df": g["df_sum"]})
+
+    return bucketed_group_apply(
+        docs_ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["token"], merge, num_buckets=num_buckets)
+
+
+def tfidf_topk(docs_ds, k: int, *, text_col: str = "text",
+               id_col: str = "doc_id", num_buckets: int = 16):
+    """Top-``k`` keywords per document by a quantized tf-idf.
+
+    ``score = tf * ((1000 * N) // df)`` — term frequency times a
+    per-mille integer inverse document frequency. The quantization is
+    deliberate: a float ``tf * ln(N/df)`` ranks identically in practice
+    but transcendental kernels differ across engines in the last ulp,
+    while integer arithmetic is bit-exact everywhere (same reasoning as
+    ``token_freq_scores``). Ties break on ascending token.
+
+    Scale shape: ``doc_frequencies`` is one bucketed word-count exchange;
+    the df table is broadcast once via ``ray.put`` (same singleton-mass
+    caveat and ``min_count`` valve as the vocabulary broadcast — see
+    module docstring); scoring is batch-local. Output:
+    ``(id_col, token, score, rank)``, rows with rank <= k.
+    """
+    import ray
+
+    n_docs = docs_ds.count()
+    dfs: dict = {}
+    for b in doc_frequencies(docs_ds, text_col=text_col,
+                             num_buckets=num_buckets) \
+            .iter_batches(batch_format="pyarrow"):
+        dfs.update(zip(b["token"].to_pylist(),
+                       b["df"].to_numpy(zero_copy_only=False).tolist()))
+    ref = ray.put(dfs) if ray.is_initialized() else dfs
+
+    def score(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        dfm = ref if isinstance(ref, dict) else ray.get(ref)
+        ids, toks, scores, ranks = [], [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            tf = Counter(tokens(txt))
+            scored = sorted(
+                ((-c * ((1000 * n_docs) // dfm[tok]), tok)
+                 for tok, c in tf.items()),
+            )[:k]
+            for r, (neg, tok) in enumerate(scored, start=1):
+                ids.append(i)
+                toks.append(tok)
+                scores.append(-neg)
+                ranks.append(r)
+        return pa.table({
+            id_col: pa.array(ids, type=t[id_col].type),
+            "token": pa.array(toks, type=pa.string()),
+            "score": pa.array(scores, type=pa.int64()),
+            "rank": pa.array(ranks, type=pa.int64()),
+        })
+
+    return docs_ds.map_batches(score, batch_format="pyarrow",
+                               zero_copy_batch=True)

@@ -144,3 +144,30 @@ def test_with_global_index_single_block(ray_session):
         .sort_values("index")
     assert out["k"].tolist() == ["a", "b", "c"]
     assert out["index"].tolist() == [0, 1, 2]
+
+
+def test_tfidf_topk_matches_sequential(ray_session):
+    from collections import Counter
+
+    from fashion_knowledge_graph_ray.stages.corpus import tfidf_topk
+
+    tbl = _docs(120)
+    ds = rd.from_arrow(tbl).repartition(6)
+    out = tfidf_topk(ds, 2).to_pandas()
+
+    n = tbl.num_rows
+    df_counts: Counter = Counter()
+    for t in tbl["text"].to_pylist():
+        df_counts.update(set(tokens(t)))
+    exp_rows = set()
+    for i in range(n):
+        did = tbl["doc_id"][i].as_py()
+        tf = Counter(tokens(tbl["text"][i].as_py()))
+        scored = sorted((-c * ((1000 * n) // df_counts[tok]), tok)
+                        for tok, c in tf.items())[:2]
+        for r, (neg, tok) in enumerate(scored, start=1):
+            exp_rows.add((did, tok, -neg, r))
+    got = set(zip(out["doc_id"], out["token"], out["score"], out["rank"]))
+    assert got == exp_rows
+    # empty/whitespace docs contribute no keyword rows
+    assert (out["doc_id"] != tbl["doc_id"][5].as_py()).all()
