@@ -606,6 +606,16 @@ def _q_asof_join_events(sf_dir: str):
                      tie_col="o_orderkey")
 
 
+def _q_kmeans_clusters_emb(sf_dir: str):
+    # corpus clustering: seeded spherical k-means centroids (driver
+    # sample, broadcast) + stateless batch-local assignment scan;
+    # oracle = sequential-reference VALUES (_kmeans_expected_values)
+    from fashion_knowledge_graph_ray.stages.ann import kmeans_assign
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
+    return kmeans_assign(emb, 8)
+
+
 def _q_tfidf_topk_docs(sf_dir: str):
     # top-3 keywords per doc by quantized tf-idf (integer score so both
     # engines rank bit-identically); df table broadcast, scoring local
@@ -1170,6 +1180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_join_events": _q_band_join_events,
         "shuffle_rank_docs": _q_shuffle_rank_docs,
         "tfidf_topk_docs": _q_tfidf_topk_docs,
+        "kmeans_clusters_emb": _q_kmeans_clusters_emb,
         "quantiles_events": _q_quantiles_events,
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
@@ -1516,6 +1527,41 @@ def _outfit_page_expected_values() -> tuple:
             rows.append((rec["mention_id"], rec["surface"],
                          rec.get("label"), ids[i], rank, float(sims[i])))
     return tuple(rows)
+
+
+@functools.lru_cache(maxsize=1)
+def _kmeans_expected_values() -> tuple:
+    """Independent SEQUENTIAL reference for ``kmeans_clusters_emb``:
+    shares the seeded centroid trainer (`_spherical_kmeans` — the seeded
+    init/iteration schedule IS the semantics, like the hash featurizers)
+    and re-derives the assignment per row with a plain per-vector dot
+    loop instead of the operator's batched matmul+argmax scan."""
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.stages.ann import (
+        _normalize,
+        _spherical_kmeans,
+    )
+
+    t = pq.read_table(_ORACLE_SF_DIR + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                               for v in t["embedding"].to_pylist()]))
+    cent = _spherical_kmeans(mat[:4096], 8, seed=42)
+    rows = []
+    for i, vid in enumerate(ids):
+        sims = [float(mat[i] @ cent[c]) for c in range(len(cent))]
+        best = max(range(len(sims)), key=lambda c: (sims[c], -c))
+        rows.append((vid, best))
+    return tuple(rows)
+
+
+def _kmeans_values_sql() -> str:
+    vals = ", ".join(f"({v}, {c})" for v, c in _kmeans_expected_values())
+    return (f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(cluster AS BIGINT) AS cluster "
+            f"FROM (VALUES {vals}) AS t(vec_id, cluster)")
 
 
 def _stratified_sample_sql() -> str:
@@ -2374,6 +2420,7 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "simhash_pairs_docs": _simhash_values_sql(),
         "outfit_text": _outfit_text_values_sql(),
         "outfit_page": _outfit_page_values_sql(),
+        "kmeans_clusters_emb": _kmeans_values_sql(),
         "lsh_ann_topk": _ann_values_sql(_lsh_ann_expected_values()),
         "ivf_ann_topk": _ann_values_sql(_ivf_ann_expected_values()),
         "media_frame_sample": """

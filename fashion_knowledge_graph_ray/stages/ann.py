@@ -267,3 +267,42 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int, *,
 
     return bucketed_group_apply(partials, ["query_id"], merge,
                                 num_buckets=num_buckets)
+
+
+def kmeans_assign(ds, ncentroids: int, *, emb_col: str = "embedding",
+                  id_col: str = "vec_id", train_sample: int = 4096,
+                  seed: int = 42):
+    """Corpus clustering: assign every vector to its nearest spherical
+    k-means centroid (cosine). The standard corpus-organization step for
+    cluster-balanced training mixes and cluster-local dedup.
+
+    Scale shape mirrors ``ivf_topk``'s index build: centroids train ONCE
+    on a driver-side sample (seeded, deterministic), broadcast via
+    ``ray.put``, and assignment is a stateless batch-local matmul+argmax
+    over the streaming corpus — no shuffle, no driver materialization of
+    vectors beyond the fixed sample. Output rows: ``(id_col, cluster)``.
+    """
+    import ray
+
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                                  for r in sample_rows]))
+    cent = _spherical_kmeans(sample, ncentroids, seed=seed)
+    ref = ray.put(cent) if ray.is_initialized() else cent
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({id_col: batch[id_col],
+                             "cluster": pa.array([], type=pa.int64())})
+        c = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+        mat = _normalize(np.stack(
+            [np.asarray(v, dtype=np.float64)
+             for v in batch[emb_col].to_pylist()]))
+        cl = np.argmax(mat @ c.T, axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(cl, type=pa.int64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -154,3 +154,19 @@ def test_band_join_keyless_and_boundary(ray_session):
                     left_val="v", right_val="u", eps=0.5,
                     num_buckets=4).to_pandas()
     assert set(zip(out["lid"], out["rid"])) == {(1, 10), (1, 12)}
+
+
+def test_kmeans_assign_partitioning_independent(ray_session):
+    from fashion_knowledge_graph_ray.stages.ann import kmeans_assign
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(300, 16))
+    tbl = pa.table({"vec_id": pa.array(range(300), type=pa.int64()),
+                    "embedding": pa.array([list(map(float, r))
+                                           for r in mat])})
+    a = kmeans_assign(rd.from_arrow(tbl).repartition(2), 4) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    b = kmeans_assign(rd.from_arrow(tbl).repartition(9), 4) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(a["cluster"]) == {0, 1, 2, 3}
