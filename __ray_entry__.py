@@ -351,6 +351,58 @@ def _q_exact_dedup_docs(sf_dir: str):
     return exact_dedup(docs, text_col="text", id_col="doc_id", num_buckets=16)
 
 
+def _q_inverted_index_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.corpus import inverted_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    return inverted_index(docs, num_buckets=16)
+
+
+def _clone_docs(docs, upto: int, offset: int = 10_000):
+    """Union ``docs`` with copies of rows ``doc_id < upto`` re-keyed to
+    ``doc_id + offset`` — the planted-duplicate fixture augmentation (same
+    device as ``_aug_embeddings``) so dedup queries exercise non-empty
+    removal paths."""
+    import pyarrow.compute as pc
+
+    def clone(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.less(t["doc_id"], pa.scalar(upto)))
+        return s.set_column(s.schema.get_field_index("doc_id"), "doc_id",
+                            pc.add(s["doc_id"], pa.scalar(offset)))
+
+    return docs.union(docs.map_batches(clone, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+
+
+def _q_chunk_dedup_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.dedup import chunk_dedup
+
+    docs = _clone_docs(
+        _read(sf_dir, "documents", ["doc_id", "text"], blocks=64), 50)
+    return chunk_dedup(docs, chunk_tokens=20, num_buckets=16)
+
+
+def _q_incremental_dedup_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.dedup import incremental_dedup
+
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    old = docs.filter(expr="doc_id < 250")
+
+    def clone(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.less(t["doc_id"], pa.scalar(100)))
+        return s.set_column(s.schema.get_field_index("doc_id"), "doc_id",
+                            pc.add(s["doc_id"], pa.scalar(10_000)))
+
+    # new shard = genuinely-new rows + planted exact copies of 100 old ones
+    new = docs.filter(expr="doc_id >= 250").union(
+        docs.map_batches(clone, batch_format="pyarrow", zero_copy_batch=True))
+    out = incremental_dedup(new, old, num_buckets=16)
+    return out.map_batches(lambda t: t.select(["doc_id"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_token_count_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.textstats import quality_scores
 
@@ -1163,6 +1215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "valid_docs": _q_valid_docs,
         "grouped_sample_docs": _q_grouped_sample_docs,
         "exact_dedup_docs": _q_exact_dedup_docs,
+        "inverted_index_docs": _q_inverted_index_docs,
+        "chunk_dedup_docs": _q_chunk_dedup_docs,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
         "token_count_docs": _q_token_count_docs,
         "quality_docs": _q_quality_docs,
         "repetition_docs": _q_repetition_docs,
@@ -1992,6 +2047,61 @@ QUALIFY row_number() OVER (
         "exact_dedup_docs": """
 SELECT md5(text) AS md5, min(doc_id) AS doc_id
 FROM documents GROUP BY md5(text)""",
+        "inverted_index_docs": r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                ELSE regexp_split_to_array(trim(text), '\s+') END) AS token
+  FROM documents
+),
+tok AS (SELECT DISTINCT doc_id, token FROM raw)
+SELECT token, count(*) AS df,
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings,
+       false AS postings_truncated
+FROM tok GROUP BY token""",
+        # planted duplicates (+10000 ids) make the first-wins rule
+        # observable; chunk = 20-token window, hash = md5 of the
+        # space-joined window, winner = lexicographic min (doc_id, chunk_no)
+        "chunk_dedup_docs": r"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+),
+t AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+  FROM d
+),
+gs AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, CAST(ceil(len(toks) / 20.0) AS BIGINT)))
+           AS g
+  FROM t WHERE len(toks) > 0
+),
+c AS (
+  SELECT doc_id, g - 1 AS chunk_no,
+         md5(array_to_string(toks[(g-1)*20+1 : (g-1)*20+20], ' '))
+           AS chunk_hash
+  FROM gs
+)
+SELECT doc_id, chunk_no, chunk_hash FROM (
+  SELECT c.*, row_number() OVER (PARTITION BY chunk_hash
+                                 ORDER BY doc_id, chunk_no) AS rn
+  FROM c
+) WHERE rn = 1""",
+        # bloom gate is an optimization only: results = exact anti-join of
+        # the new shard's text against the processed-corpus text
+        "incremental_dedup_docs": """
+WITH old AS (SELECT text FROM documents WHERE doc_id < 250),
+n AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+  UNION ALL
+  SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+)
+SELECT n.doc_id FROM n
+WHERE n.text NOT IN (SELECT text FROM old)""",
         "token_count_docs": f"""
 SELECT doc_id, {ntok} AS n_tokens FROM documents""",
         # same %7 PII-suffix augmentation as the Ray query; both sides run

@@ -423,6 +423,71 @@ def doc_frequencies(docs_ds, *, text_col: str = "text",
         ["token"], merge, num_buckets=num_buckets)
 
 
+def inverted_index(docs_ds, *, text_col: str = "text",
+                   id_col: str = "doc_id", num_buckets: int = 16,
+                   postings_cap: int = 100_000):
+    """Distributed inverted-index construction: one row per distinct
+    token with its document frequency and a sorted postings string.
+
+    Output: ``(token, df, postings, postings_truncated)`` where ``df``
+    counts ALL documents containing the token, ``postings`` is the
+    ascending comma-joined list of the first ``postings_cap`` doc ids
+    and ``postings_truncated`` flags a capped list (never a silent cut —
+    the C4-style evidence-cap rule of stages/aggregate.py).
+
+    Scale shape: the per-batch partial emits each (token, sorted-id-run)
+    ONCE per batch — the shuffle carries one row per distinct token per
+    block, not one per occurrence — then a bucketed merge on the token
+    concatenates runs. Postings ride as comma-joined strings (Arrow
+    large-binary friendly, and the driver never sees them). Stop-word
+    mass: the hottest token's merged postings are bounded by
+    ``postings_cap`` at emit time only; the merge itself concatenates
+    full runs, so pair ``postings_cap`` with an upstream stop-word drop
+    when the corpus is 100 TB (documented valve, same reasoning as
+    ``token_freq_scores.min_count``)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        per_tok: dict[str, list[int]] = {}
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            for tok in set(tokens(txt)):
+                per_tok.setdefault(tok, []).append(i)
+        items = sorted(per_tok.items())
+        return pa.table({
+            "token": pa.array([k for k, _ in items], type=pa.string()),
+            "df": pa.array([len(v) for _, v in items], type=pa.int64()),
+            "postings": pa.array(
+                [",".join(map(str, sorted(v))) for _, v in items],
+                type=pa.string()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        toks, dfs, posts, trunc = [], [], [], []
+        per_tok: dict[str, tuple[int, list[str]]] = {}
+        for tok, df, run in zip(t["token"].to_pylist(),
+                                t["df"].to_pylist(),
+                                t["postings"].to_pylist()):
+            n, runs = per_tok.get(tok, (0, []))
+            per_tok[tok] = (n + df, runs + [run])
+        for tok in sorted(per_tok):
+            n, runs = per_tok[tok]
+            ids = sorted(int(x) for r in runs for x in r.split(","))
+            toks.append(tok)
+            dfs.append(n)
+            posts.append(",".join(map(str, ids[:postings_cap])))
+            trunc.append(len(ids) > postings_cap)
+        return pa.table({
+            "token": pa.array(toks, type=pa.string()),
+            "df": pa.array(dfs, type=pa.int64()),
+            "postings": pa.array(posts, type=pa.string()),
+            "postings_truncated": pa.array(trunc, type=pa.bool_()),
+        })
+
+    partials = docs_ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    return bucketed_group_apply(partials, ["token"], merge,
+                                num_buckets=num_buckets)
+
+
 def tfidf_topk(docs_ds, k: int, *, text_col: str = "text",
                id_col: str = "doc_id", num_buckets: int = 16):
     """Top-``k`` keywords per document by a quantized tf-idf.

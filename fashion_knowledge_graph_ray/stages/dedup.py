@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.textstats import fingerprint_md5, hamming64, simhash64
 from .bucketed import bucketed_group_apply
@@ -74,6 +75,157 @@ def minhash_dedup(ds, *, text_col: str = "text", id_col: str = "doc_id",
     comp = connected_components(pairs, sds.select_columns(["id"]),
                                 num_buckets=num_buckets)
     return comp  # (id, component)
+
+
+# ── chunk (passage) level dedup ──────────────────────────────────────────
+
+def chunk_dedup(ds, *, chunk_tokens: int = 20, text_col: str = "text",
+                id_col: str = "doc_id", num_buckets: int = 64):
+    """C4/RefinedWeb-style passage-level corpus dedup: split each
+    document's ``\\S+`` token stream into fixed ``chunk_tokens``-token
+    chunks (the last chunk may be short) and keep only the globally
+    FIRST occurrence — min ``(doc id, chunk_no)`` lexicographically —
+    of each distinct chunk.
+
+    Output: ``(doc_id, chunk_no, chunk_hash)`` of the KEPT chunks;
+    ``chunk_hash`` = hex md5 of the space-joined chunk tokens, so the
+    result is SQL-checkable and the shuffle ships 3 narrow columns —
+    never text. Duplicate-chunk removal at 100 TB is exactly this
+    exchange: the flat-map emits (id, no, 16-byte hash) rows and ONE
+    bucketed groupby on the hash picks the winner; chunk text is
+    re-fetched by (doc_id, chunk_no) slicing at consumption time
+    (cheap, column-pruned) instead of riding the shuffle.
+    """
+    import hashlib
+
+    from ..functions.textstats import tokens as _tokens
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, nos, hs = [], [], []
+        for i, txt in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            toks = _tokens(txt)
+            for c in range(0, max(1, -(-len(toks) // chunk_tokens))
+                           if toks else 0):
+                chunk = " ".join(toks[c * chunk_tokens:(c + 1) * chunk_tokens])
+                ids.append(i)
+                nos.append(c)
+                hs.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+        return pa.table({
+            id_col: pa.array(ids, type=t[id_col].type),
+            "chunk_no": pa.array(nos, type=pa.int64()),
+            "chunk_hash": pa.array(hs, type=pa.string()),
+        })
+
+    def keep_first(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("chunk_hash", "ascending"), (id_col, "ascending"),
+            ("chunk_no", "ascending")])
+        s = t.take(idx)
+        mask = np.ones(s.num_rows, dtype=bool)
+        h = s["chunk_hash"].to_numpy(zero_copy_only=False)
+        mask[1:] = h[1:] != h[:-1]
+        return s.filter(pa.array(mask))
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed_group_apply(exploded, ["chunk_hash"], keep_first,
+                                num_buckets=num_buckets)
+
+
+# ── incremental (bloom-gated) dedup against a reference corpus ───────────
+
+def incremental_dedup(new_ds, ref_ds, *, text_col: str = "text",
+                      id_col: str = "doc_id", num_buckets: int = 64,
+                      bloom_bits: int = 1 << 23, bloom_hashes: int = 4):
+    """Drop rows of ``new_ds`` whose text already appears in ``ref_ds``
+    (the incremental-crawl dedup: today's shard against the processed
+    corpus). EXACT results with a Bloom-filter shuffle gate:
+
+    1. one narrow pass over ``ref_ds`` hashes texts (md5 → 64-bit) and
+       ORs per-batch bitmap partials into a ``bloom_bits``-bit filter —
+       the driver holds one ``bloom_bits/8``-byte array (1 MiB at the
+       default), never rows — broadcast once via ``ray.put``;
+    2. ``new_ds`` rows whose hash MISSES the bloom are definitively
+       fresh and stream through with NO shuffle (the common case: most
+       of a new crawl is new);
+    3. only bloom-HIT rows (true dups + false positives) enter a
+       bucketed anti-join on the 64-bit hash against the ref hashes,
+       which removes exactly the true dups.
+
+    The bloom prunes the exchange, the anti-join restores exactness, so
+    false positives cost only shuffle bytes — results are identical to a
+    full anti-join. Size ``bloom_bits ≈ 10×`` ref cardinality for ~1%
+    FP. Hash collisions (distinct texts, equal 64-bit md5 prefix) are
+    the usual 2^-64 caveat, same as every content-hash dedup here.
+    """
+    import ray
+
+    from .relational import anti_join_shuffle
+
+    def to_hash64(t: pa.Table, col: str) -> np.ndarray:
+        return np.array(
+            [int(fingerprint_md5(x)[:16], 16) for x in t[col].to_pylist()],
+            dtype=np.uint64)
+
+    mask_words = bloom_bits // 64
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(mask_words, dtype=np.uint64)
+        h = to_hash64(t, text_col)
+        for k in range(bloom_hashes):
+            # k-th derived hash: splitmix-style remix, vectorized
+            hk = (h ^ np.uint64((0x9E3779B97F4A7C15 * (k + 1))
+                                & 0xFFFFFFFFFFFFFFFF))
+            hk = (hk * np.uint64(0xBF58476D1CE4E5B9)) % np.uint64(bloom_bits)
+            np.bitwise_or.at(bm, (hk // np.uint64(64)).astype(np.int64),
+                             np.uint64(1) << (hk % np.uint64(64)))
+        return pa.table({"bitmap": pa.array([bm.tobytes()],
+                                            type=pa.binary())})
+
+    bloom = np.zeros(mask_words, dtype=np.uint64)
+    for b in ref_ds.select_columns([text_col]).map_batches(
+            bloom_partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for raw in b["bitmap"].to_pylist():
+            bloom |= np.frombuffer(raw, dtype=np.uint64)
+    bloom_ref = ray.put(bloom) if ray.is_initialized() else bloom
+
+    def bloom_test(t: pa.Table) -> pa.Table:
+        bm = bloom_ref if isinstance(bloom_ref, np.ndarray) \
+            else ray.get(bloom_ref)
+        h = to_hash64(t, text_col)
+        hit = np.ones(len(h), dtype=bool)
+        for k in range(bloom_hashes):
+            hk = (h ^ np.uint64((0x9E3779B97F4A7C15 * (k + 1))
+                                & 0xFFFFFFFFFFFFFFFF))
+            hk = (hk * np.uint64(0xBF58476D1CE4E5B9)) % np.uint64(bloom_bits)
+            word = bm[(hk // np.uint64(64)).astype(np.int64)]
+            hit &= (word >> (hk % np.uint64(64))) & np.uint64(1) != 0
+        return t.append_column("__h64", pa.array(h, type=pa.uint64())) \
+                .append_column("__bloom_hit", pa.array(hit))
+
+    tagged = new_ds.map_batches(bloom_test, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def take_fresh(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(t["__bloom_hit"])) \
+                .drop_columns(["__h64", "__bloom_hit"])
+
+    def take_maybe(t: pa.Table) -> pa.Table:
+        return t.filter(t["__bloom_hit"]).drop_columns(["__bloom_hit"])
+
+    fresh = tagged.map_batches(take_fresh, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    maybe = tagged.map_batches(take_maybe, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    ref_hashes = ref_ds.select_columns([text_col]).map_batches(
+        lambda t: pa.table({"__h64": pa.array(to_hash64(t, text_col),
+                                              type=pa.uint64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    survivors = anti_join_shuffle(maybe, "__h64", ref_hashes, "__h64",
+                                  num_buckets=num_buckets) \
+        .drop_columns(["__h64"])
+    return fresh.union(survivors)
 
 
 # ── SimHash near-dup ─────────────────────────────────────────────────────

@@ -171,3 +171,38 @@ def test_tfidf_topk_matches_sequential(ray_session):
     assert got == exp_rows
     # empty/whitespace docs contribute no keyword rows
     assert (out["doc_id"] != tbl["doc_id"][5].as_py()).all()
+
+
+def test_inverted_index_matches_sequential(ray_session):
+    from fashion_knowledge_graph_ray.stages.corpus import inverted_index
+
+    tbl = _docs(150)
+    ds = rd.from_arrow(tbl).repartition(7)
+    out = inverted_index(ds, num_buckets=4).to_pandas()
+
+    exp: dict = {}
+    for i in range(tbl.num_rows):
+        did = tbl["doc_id"][i].as_py()
+        for tok in set(tokens(tbl["text"][i].as_py())):
+            exp.setdefault(tok, []).append(did)
+    assert len(out) == len(exp)
+    for _, row in out.iterrows():
+        ids = sorted(exp[row["token"]])
+        assert row["df"] == len(ids)
+        assert row["postings"] == ",".join(map(str, ids))
+        assert not row["postings_truncated"]
+
+
+def test_inverted_index_postings_cap(ray_session):
+    from fashion_knowledge_graph_ray.stages.corpus import inverted_index
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(10), type=pa.int64()),
+        "text": pa.array(["hot word"] * 10),
+    })
+    out = inverted_index(rd.from_arrow(tbl).repartition(3),
+                         num_buckets=2, postings_cap=4).to_pandas()
+    row = out[out["token"] == "hot"].iloc[0]
+    assert row["df"] == 10                      # df counts ALL docs
+    assert row["postings"] == "0,1,2,3"          # capped ascending
+    assert bool(row["postings_truncated"])

@@ -176,3 +176,77 @@ def test_embedding_neardup_routes_to_lsh(ray_session):
     direct = lsh_neardup_pairs(rd.from_arrow(t), threshold=0.95,
                                num_buckets=4)
     assert sorted((r["a"], r["b"]) for r in direct.take_all()) == exact_pairs
+
+
+def test_chunk_dedup_first_wins(ray_session):
+    import hashlib
+
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.dedup import chunk_dedup
+
+    # 3-token chunks; doc 7's first chunk repeats doc 3's first chunk,
+    # doc 3's own second chunk repeats its first
+    tbl = pa.table({
+        "doc_id": pa.array([3, 7, 9], type=pa.int64()),
+        "text": ["a b c a b c x", "a b c q r s", ""],
+    })
+    out = chunk_dedup(rd.from_arrow(tbl).repartition(3), chunk_tokens=3,
+                      num_buckets=4).to_pandas()
+    got = set(zip(out["doc_id"], out["chunk_no"]))
+    # kept: (3,0) wins "a b c"; (3,2) "x"; (7,1) "q r s"; doc 9 no chunks
+    assert got == {(3, 0), (3, 2), (7, 1)}
+    h = out.set_index(["doc_id", "chunk_no"])["chunk_hash"]
+    assert h[(3, 0)] == hashlib.md5(b"a b c").hexdigest()
+    assert h[(3, 2)] == hashlib.md5(b"x").hexdigest()
+
+
+def test_chunk_dedup_partition_invariance(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.dedup import chunk_dedup
+
+    rng = np.random.default_rng(3)
+    words = ["w%d" % i for i in range(12)]
+    texts = [" ".join(rng.choice(words, size=int(rng.integers(0, 30))))
+             for _ in range(80)]
+    texts[10] = texts[4]  # full-doc duplicate
+    tbl = pa.table({"doc_id": pa.array(range(80), type=pa.int64()),
+                    "text": texts})
+
+    outs = []
+    for parts in (1, 9):
+        df = chunk_dedup(rd.from_arrow(tbl).repartition(parts),
+                         chunk_tokens=5, num_buckets=4).to_pandas()
+        outs.append(sorted(map(tuple, df.to_numpy())))
+    assert outs[0] == outs[1]
+    # the duplicate doc contributes no kept chunks
+    kept_ids = {r[0] for r in outs[0]}
+    assert 10 not in kept_ids
+
+
+def test_incremental_dedup_exact_and_bloom_gate(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.dedup import incremental_dedup
+
+    ref = pa.table({"doc_id": pa.array(range(50), type=pa.int64()),
+                    "text": [f"ref doc {i}" for i in range(50)]})
+    new = pa.table({
+        "doc_id": pa.array(range(100, 160), type=pa.int64()),
+        "text": [f"new doc {i}" for i in range(40)]       # fresh
+        + [f"ref doc {i}" for i in range(20)],            # dups of ref
+    })
+    out = incremental_dedup(rd.from_arrow(new).repartition(4),
+                            rd.from_arrow(ref).repartition(3),
+                            num_buckets=4).to_pandas()
+    assert sorted(out["doc_id"]) == list(range(100, 140))
+    assert set(out.columns) == {"doc_id", "text"}
+
+    # tiny bloom (high FP rate) must not change results — exactness comes
+    # from the verify anti-join, the bloom only prunes
+    out2 = incremental_dedup(rd.from_arrow(new).repartition(4),
+                             rd.from_arrow(ref).repartition(3),
+                             num_buckets=4, bloom_bits=64,
+                             bloom_hashes=2).to_pandas()
+    assert sorted(out2["doc_id"]) == list(range(100, 140))
