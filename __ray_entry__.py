@@ -668,6 +668,23 @@ def _q_kmeans_clusters_emb(sf_dir: str):
     return kmeans_assign(emb, 8)
 
 
+def _q_knn_graph_emb(sf_dir: str):
+    # exact self-kNN regime (corpus under the broadcast gate); the IVF
+    # regime is covered by the pytest full-probe == exact invariance test
+    from fashion_knowledge_graph_ray.stages.ann import knn_graph
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"], blocks=32)
+    return knn_graph(emb, 5)
+
+
+def _q_semantic_dedup_emb(sf_dir: str):
+    # SemDeDup over embeddings + planted exact duplicates; oracle =
+    # sequential-reference VALUES (_semantic_dedup_expected_values)
+    from fashion_knowledge_graph_ray.stages.ann import semantic_dedup
+
+    return semantic_dedup(_aug_embeddings(sf_dir), 0.95, 8)
+
+
 def _q_tfidf_topk_docs(sf_dir: str):
     # top-3 keywords per doc by quantized tf-idf (integer score so both
     # engines rank bit-identically); df table broadcast, scoring local
@@ -1236,6 +1253,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank_docs": _q_shuffle_rank_docs,
         "tfidf_topk_docs": _q_tfidf_topk_docs,
         "kmeans_clusters_emb": _q_kmeans_clusters_emb,
+        "knn_graph_emb": _q_knn_graph_emb,
+        "semantic_dedup_emb": _q_semantic_dedup_emb,
         "quantiles_events": _q_quantiles_events,
         "rrf_orders": _q_rrf_orders,
         "ann_topk": _q_ann_topk,
@@ -1610,6 +1629,67 @@ def _kmeans_expected_values() -> tuple:
         best = max(range(len(sims)), key=lambda c: (sims[c], -c))
         rows.append((vid, best))
     return tuple(rows)
+
+
+def _semantic_dedup_expected_values() -> tuple:
+    """Independent SEQUENTIAL reference for ``semantic_dedup_emb``: same
+    seeded centroid trainer (the seed schedule is the semantics), then a
+    plain per-row nearest-centroid loop and a per-cluster ascending-id
+    greedy scan — no Ray, no batching, no shuffle."""
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.stages.ann import (
+        _normalize,
+        _spherical_kmeans,
+    )
+
+    t = pq.read_table(_ORACLE_SF_DIR + "/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_pylist()
+    vecs = [np.asarray(v, dtype=np.float64)
+            for v in t["embedding"].to_pylist()]
+    # planted duplicates, same derivation as _aug_embeddings
+    clones = [(v + 100000, x) for v, x in zip(ids, vecs) if v < 50]
+    ids = ids + [v for v, _ in clones]
+    vecs = vecs + [x for _, x in clones]
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    ids = [ids[i] for i in order]
+    vecs = [vecs[i] for i in order]
+    mat = _normalize(np.stack(vecs))
+    cent = _spherical_kmeans(mat[:4096], 8, seed=42)
+    clusters: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        best = int(np.argmax(mat[i] @ cent.T))
+        clusters.setdefault(best, []).append(i)
+    rows = []
+    for c, members in clusters.items():
+        members = sorted(members, key=lambda i: ids[i])
+        kept_rows: list[int] = []
+        for i in members:
+            shadow = None
+            best_s = -2.0
+            for j in kept_rows:
+                s = float(mat[i] @ mat[j])
+                if s > best_s:
+                    best_s, shadow = s, j
+            if kept_rows and best_s >= 0.95:
+                rows.append((ids[i], c, False, ids[shadow]))
+            else:
+                kept_rows.append(i)
+                rows.append((ids[i], c, True, None))
+    return tuple(rows)
+
+
+def _semantic_dedup_values_sql() -> str:
+    vals = ", ".join(
+        f"({v}, {c}, {str(k).upper()}, "
+        f"{'NULL' if d is None else d})"
+        for v, c, k, d in _semantic_dedup_expected_values())
+    return (f"SELECT CAST(vec_id AS BIGINT) AS vec_id, "
+            f"CAST(cluster AS BIGINT) AS cluster, "
+            f"CAST(kept AS BOOLEAN) AS kept, "
+            f"CAST(dup_of AS BIGINT) AS dup_of "
+            f"FROM (VALUES {vals}) AS t(vec_id, cluster, kept, dup_of)")
 
 
 def _kmeans_values_sql() -> str:
@@ -2531,6 +2611,22 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "outfit_text": _outfit_text_values_sql(),
         "outfit_page": _outfit_page_values_sql(),
         "kmeans_clusters_emb": _kmeans_values_sql(),
+        "semantic_dedup_emb": _semantic_dedup_values_sql(),
+        # exact self-kNN: rank by cosine DESC, dst ASC (score itself is
+        # not compared — identical tie policy to ann_topk)
+        "knn_graph_emb": """
+WITH s AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS score
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+)
+SELECT src, dst, rank FROM (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY score DESC, dst) AS rank
+  FROM s
+) WHERE rank <= 5""",
         "lsh_ann_topk": _ann_values_sql(_lsh_ann_expected_values()),
         "ivf_ann_topk": _ann_values_sql(_ivf_ann_expected_values()),
         "media_frame_sample": """

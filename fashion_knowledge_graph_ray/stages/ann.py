@@ -269,6 +269,226 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int, *,
                                 num_buckets=num_buckets)
 
 
+def knn_graph(ds, k: int, *, emb_col: str = "embedding",
+              id_col: str = "vec_id", max_broadcast: int = 100_000,
+              ncentroids: int = 64, nprobe: int = 4,
+              train_sample: int = 4096, num_buckets: int = 16,
+              seed: int = 42):
+    """Self-kNN graph: for EVERY corpus vector, its ``k`` nearest other
+    vectors by cosine — the substrate of SemDeDup, graph-based corpus
+    clustering and diversity sampling. Output ``(src, dst, rank)``,
+    rank 1..k per src, ties (score, then dst) deterministic.
+
+    Two regimes, auto-routed by a corpus count (same two-regime design as
+    ``embedding_neardup_pairs`` / ``connected_components``):
+
+    - **exact** (count ≤ ``max_broadcast``): the id+matrix pair is pulled
+      once, broadcast via ``ray.put``, and the corpus streams through a
+      batch-local (batch × corpus) matmul — each batch emits its rows'
+      FINAL top-k directly (queries are the streamed side, so no merge
+      shuffle at all).
+    - **IVF-bucketed** (above the gate): seeded spherical-k-means cells;
+      every vector ships once as a MEMBER of its own cell and once as a
+      QUERY replica to its ``nprobe`` nearest cells; each cell computes
+      queries × members locally and per-src partials merge in one
+      bucketed reduce. Scan fraction ≈ nprobe/ncentroids; approximate
+      (exactly the IVF recall trade measured for ``ivf_topk`` in
+      BASELINE.md).
+    """
+    import ray
+
+    n = ds.count()
+    if n <= max_broadcast:
+        ids_all, vecs = [], []
+        for b in ds.select_columns([id_col, emb_col]) \
+                   .iter_batches(batch_format="pyarrow"):
+            ids_all.extend(b[id_col].to_pylist())
+            vecs.extend(np.asarray(v, dtype=np.float64)
+                        for v in b[emb_col].to_pylist())
+        corpus_ids = np.asarray(ids_all)
+        corpus = _normalize(np.stack(vecs)) if vecs else np.zeros((0, 1))
+        ref = ray.put((corpus_ids, corpus)) if ray.is_initialized() \
+            else (corpus_ids, corpus)
+
+        def exact(batch: pa.Table) -> pa.Table:
+            cids, cmat = ray.get(ref) if not isinstance(ref, tuple) else ref
+            ids = np.asarray(batch[id_col].to_pylist())
+            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                       for v in batch[emb_col].to_pylist()]))
+            sims = mat @ cmat.T  # (b, n)
+            # exclude self by id (robust to duplicate vectors)
+            sims[ids[:, None] == cids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1] - 1) if sims.shape[1] > 1 else 0
+            out_s, out_d, out_r = [], [], []
+            if kk > 0:
+                order = np.lexsort(
+                    (np.broadcast_to(cids, sims.shape), -sims), axis=1)[:, :kk]
+                for i in range(len(ids)):
+                    out_s.extend([ids[i]] * kk)
+                    out_d.extend(cids[order[i]].tolist())
+                    out_r.extend(range(1, kk + 1))
+            return pa.table({"src": pa.array(out_s, type=pa.int64()),
+                             "dst": pa.array(out_d, type=pa.int64()),
+                             "rank": pa.array(out_r, type=pa.int64())})
+
+        return ds.map_batches(exact, batch_format="pyarrow",
+                              batch_size=2048, zero_copy_batch=True)
+
+    # IVF regime: replicate each vector to its own cell (member) and its
+    # nprobe nearest cells (query); per-cell local kNN, bucketed merge.
+    sample_rows = ds.limit(train_sample).take_all()
+    sample = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                                  for r in sample_rows]))
+    cent = _spherical_kmeans(sample, ncentroids, seed=seed)
+    cent_ref = ray.put(cent) if ray.is_initialized() else cent
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        c = cent_ref if isinstance(cent_ref, np.ndarray) \
+            else ray.get(cent_ref)
+        ids = batch[id_col].to_pylist()
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in batch[emb_col].to_pylist()]))
+        sims = mat @ c.T
+        own = np.argmax(sims, axis=1)
+        probes = np.argsort(-sims, axis=1)[:, :min(nprobe, c.shape[0])]
+        out_id, out_vec, out_cell, out_role = [], [], [], []
+        for i, vid in enumerate(ids):
+            out_id.append(vid)
+            out_vec.append(mat[i].tolist())
+            out_cell.append(int(own[i]))
+            out_role.append(0)  # member
+            for cell in probes[i]:
+                out_id.append(vid)
+                out_vec.append(mat[i].tolist())
+                out_cell.append(int(cell))
+                out_role.append(1)  # query replica
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            emb_col: pa.array(out_vec, type=pa.list_(pa.float64())),
+            "cell": pa.array(out_cell, type=pa.int64()),
+            "role": pa.array(out_role, type=pa.int64()),
+        })
+
+    def cell_topk(t: pa.Table) -> pa.Table:
+        role = t["role"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(t[id_col].to_pylist())
+        mat = np.stack([np.asarray(v) for v in t[emb_col].to_pylist()])
+        m_ids, m_mat = ids[role == 0], mat[role == 0]
+        q_ids, q_mat = ids[role == 1], mat[role == 1]
+        out_s, out_d, out_sc = [], [], []
+        if len(m_ids) and len(q_ids):
+            sims = q_mat @ m_mat.T
+            sims[q_ids[:, None] == m_ids[None, :]] = -np.inf
+            kk = min(k, sims.shape[1])
+            order = np.lexsort(
+                (np.broadcast_to(m_ids, sims.shape), -sims), axis=1)[:, :kk]
+            for i in range(len(q_ids)):
+                keep = sims[i, order[i]] > -np.inf
+                out_s.extend([q_ids[i]] * int(keep.sum()))
+                out_d.extend(m_ids[order[i]][keep].tolist())
+                out_sc.extend(sims[i, order[i]][keep].tolist())
+        return pa.table({"src": pa.array(out_s, type=pa.int64()),
+                         "dst": pa.array(out_d, type=pa.int64()),
+                         "score": pa.array(out_sc, type=pa.float64())})
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"src": t["src"].to_pandas(),
+                           "dst": t["dst"].to_pandas(),
+                           "score": t["score"].to_pandas()})
+        df = df.drop_duplicates(["src", "dst"]) \
+               .sort_values(["src", "score", "dst"],
+                            ascending=[True, False, True])
+        df = df.groupby("src", sort=True).head(k)
+        df["rank"] = df.groupby("src", sort=True).cumcount() + 1
+        return pa.table({"src": pa.array(df["src"], type=pa.int64()),
+                         "dst": pa.array(df["dst"], type=pa.int64()),
+                         "rank": pa.array(df["rank"], type=pa.int64())})
+
+    cells = ds.map_batches(replicate, batch_format="pyarrow",
+                           batch_size=2048, zero_copy_batch=True)
+    partials = cells.groupby("cell").map_groups(cell_topk,
+                                                batch_format="pyarrow")
+    return bucketed_group_apply(partials, ["src"], merge,
+                                num_buckets=num_buckets)
+
+
+def semantic_dedup(ds, threshold: float, ncentroids: int, *,
+                   emb_col: str = "embedding", id_col: str = "vec_id",
+                   train_sample: int = 4096, seed: int = 42):
+    """SemDeDup-style semantic deduplication: cluster the corpus with
+    seeded spherical k-means, then WITHIN each cluster greedily drop any
+    vector whose cosine similarity to an already-kept lower-id vector is
+    ≥ ``threshold``. Output ``(vec_id, cluster, kept, dup_of)`` with
+    ``dup_of`` = the kept vector that shadowed a dropped one (null for
+    kept rows).
+
+    Deterministic: the greedy scan runs in ascending id order, so results
+    are partitioning-independent. Scale shape: centroids broadcast
+    (as ``kmeans_assign``), then ONE shuffle co-locates each cluster;
+    per-cluster work is a (|C| × |C|) matmul — bound |C| via
+    ``ncentroids`` ≈ corpus/10k so a cluster fits a task (the SemDeDup
+    paper's regime: dedup only needs LOCAL comparisons once clustered;
+    cross-cluster near-dups are the documented recall trade)."""
+    import ray
+
+    # sample sorted by id: block arrival order of a union/multi-branch
+    # input is not deterministic, and the seeded trainer's result depends
+    # on sample ORDER — pinning the order makes centroids (and therefore
+    # every downstream kept/dropped decision) partitioning-independent
+    sample_rows = sorted(ds.limit(train_sample).take_all(),
+                         key=lambda r: r[id_col])
+    sample = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64)
+                                  for r in sample_rows]))
+    cent = _spherical_kmeans(sample, ncentroids, seed=seed)
+    ref = ray.put(cent) if ray.is_initialized() else cent
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ref if isinstance(ref, np.ndarray) else ray.get(ref)
+        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                   for v in batch[emb_col].to_pylist()]))
+        cl = np.argmax(mat @ c.T, axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            emb_col: pa.array([m.tolist() for m in mat],
+                              type=pa.list_(pa.float64())),
+            "cluster": pa.array(cl, type=pa.int64()),
+        })
+
+    def dedup_cluster(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_pylist())
+        mat = np.stack([np.asarray(v) for v in t[emb_col].to_pylist()])
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        cluster = int(t["cluster"][0].as_py())
+        sims = mat @ mat.T
+        kept_idx: list[int] = []
+        kept = np.zeros(len(ids), dtype=bool)
+        dup_of = np.full(len(ids), -1, dtype=np.int64)
+        for i in range(len(ids)):
+            if kept_idx:
+                s = sims[i, kept_idx]
+                j = int(np.argmax(s))
+                if s[j] >= threshold:
+                    dup_of[i] = ids[kept_idx[j]]
+                    continue
+            kept[i] = True
+            kept_idx.append(i)
+        return pa.table({
+            id_col: pa.array(ids, type=pa.int64()),
+            "cluster": pa.array([cluster] * len(ids), type=pa.int64()),
+            "kept": pa.array(kept),
+            "dup_of": pa.array([None if d < 0 else int(d) for d in dup_of],
+                               type=pa.int64()),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return assigned.groupby("cluster").map_groups(dedup_cluster,
+                                                  batch_format="pyarrow")
+
+
 def kmeans_assign(ds, ncentroids: int, *, emb_col: str = "embedding",
                   id_col: str = "vec_id", train_sample: int = 4096,
                   seed: int = 42):

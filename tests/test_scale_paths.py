@@ -250,3 +250,79 @@ def test_incremental_dedup_exact_and_bloom_gate(ray_session):
                              num_buckets=4, bloom_bits=64,
                              bloom_hashes=2).to_pandas()
     assert sorted(out2["doc_id"]) == list(range(100, 140))
+
+
+def _rand_vecs(n=120, dim=16, seed=11):
+    rng = np.random.default_rng(seed)
+    return pa.table({
+        "vec_id": pa.array(range(n), type=pa.int64()),
+        "embedding": pa.array(
+            [rng.standard_normal(dim).tolist() for _ in range(n)],
+            type=pa.list_(pa.float64())),
+    })
+
+
+def test_knn_graph_exact_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.ann import _normalize, knn_graph
+
+    tbl = _rand_vecs()
+    out = knn_graph(rd.from_arrow(tbl).repartition(5), 3).to_pandas()
+
+    mat = _normalize(np.stack([np.asarray(v)
+                               for v in tbl["embedding"].to_pylist()]))
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    exp = set()
+    for i in range(len(mat)):
+        order = np.lexsort((np.arange(len(mat)), -sims[i]))[:3]
+        for r, j in enumerate(order, start=1):
+            exp.add((i, int(j), r))
+    assert set(zip(out["src"], out["dst"], out["rank"])) == exp
+    assert (out["src"] != out["dst"]).all()
+
+
+def test_knn_graph_ivf_full_probe_equals_exact(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.ann import knn_graph
+
+    tbl = _rand_vecs(80)
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = knn_graph(ds, 4).to_pandas()
+    # forcing the IVF regime with nprobe == ncentroids scans every cell:
+    # the approximate path must then reproduce the exact graph
+    ivf = knn_graph(ds, 4, max_broadcast=0, ncentroids=6, nprobe=6,
+                    num_buckets=4).to_pandas()
+    key = ["src", "dst", "rank"]
+    assert sorted(map(tuple, exact[key].to_numpy())) == \
+        sorted(map(tuple, ivf[key].to_numpy()))
+
+
+def test_semantic_dedup_drops_planted_dups(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.ann import semantic_dedup
+
+    tbl = _rand_vecs(60)
+    # plant exact duplicates of vectors 0..9 under ids 1000..1009
+    dup = pa.table({
+        "vec_id": pa.array(range(1000, 1010), type=pa.int64()),
+        "embedding": tbl["embedding"].slice(0, 10),
+    })
+    ds = rd.from_arrow(pa.concat_tables([tbl, dup])).repartition(5)
+    out = semantic_dedup(ds, 0.99, 4).to_pandas()
+    dropped = out[~out["kept"]]
+    # every planted clone is shadowed by its lower-id original
+    assert sorted(dropped["vec_id"]) == list(range(1000, 1010))
+    assert dropped.set_index("vec_id")["dup_of"].to_dict() == {
+        1000 + i: i for i in range(10)}
+
+    # partitioning invariance
+    out2 = semantic_dedup(
+        rd.from_arrow(pa.concat_tables([tbl, dup])).repartition(1),
+        0.99, 4).to_pandas()
+    a = sorted(map(tuple, out.fillna(-1).to_numpy()))
+    b = sorted(map(tuple, out2.fillna(-1).to_numpy()))
+    assert a == b
