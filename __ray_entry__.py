@@ -685,6 +685,26 @@ def _q_semantic_dedup_emb(sf_dir: str):
     return semantic_dedup(_aug_embeddings(sf_dir), 0.95, 8)
 
 
+def _q_pagerank_lineitem(sf_dir: str):
+    # integer-quantized PageRank over the bipartite order->part graph
+    # (multigraph: duplicate (order, part) pairs each contribute); top-100
+    # nodes by (rank DESC, id ASC). oracle = sequential-reference VALUES
+    # (_pagerank_expected_values) — bit-identical by integer arithmetic.
+    import pyarrow.compute as pc
+
+    from fashion_knowledge_graph_ray.stages.graph import pagerank
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=16)
+    edges = li.map_batches(
+        lambda t: pa.table({
+            "src": t["l_orderkey"].cast(pa.int64()),
+            "dst": pc.add(t["l_partkey"].cast(pa.int64()),
+                          pa.scalar(10_000_000)),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    pr = pagerank(edges, iters=5, num_buckets=16)
+    return pr.sort(["rank", "id"], descending=[True, False]).limit(100)
+
+
 def _q_tfidf_topk_docs(sf_dir: str):
     # top-3 keywords per doc by quantized tf-idf (integer score so both
     # engines rank bit-identically); df table broadcast, scoring local
@@ -1253,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank_docs": _q_shuffle_rank_docs,
         "tfidf_topk_docs": _q_tfidf_topk_docs,
         "kmeans_clusters_emb": _q_kmeans_clusters_emb,
+        "pagerank_lineitem": _q_pagerank_lineitem,
         "knn_graph_emb": _q_knn_graph_emb,
         "semantic_dedup_emb": _q_semantic_dedup_emb,
         "quantiles_events": _q_quantiles_events,
@@ -1690,6 +1711,41 @@ def _semantic_dedup_values_sql() -> str:
             f"CAST(kept AS BOOLEAN) AS kept, "
             f"CAST(dup_of AS BIGINT) AS dup_of "
             f"FROM (VALUES {vals}) AS t(vec_id, cluster, kept, dup_of)")
+
+
+def _pagerank_expected_values() -> tuple:
+    """Independent SEQUENTIAL reference for ``pagerank_lineitem``: plain
+    Python-int dict loops over the same edge derivation — no Ray, no
+    bucketing. Integer fixed-point arithmetic makes the comparison exact
+    (see stages/graph.py module docstring)."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_ORACLE_SF_DIR + "/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"])
+    edges = list(zip(t["l_orderkey"].to_pylist(),
+                     (p + 10_000_000 for p in t["l_partkey"].to_pylist())))
+    ids = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(ids)
+    scale, d = 10 ** 12, 85
+    deg: dict = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {i: scale // n for i in ids}
+    for _ in range(5):
+        dangling = sum(rank[i] for i in ids if deg.get(i, 0) == 0)
+        base = (scale * (100 - d)) // (100 * n) + (dangling * d) // (100 * n)
+        acc = {i: 0 for i in ids}
+        for u, v in edges:
+            acc[v] += (rank[u] * d) // (100 * deg[u])
+        rank = {i: base + acc[i] for i in ids}
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    return tuple(top)
+
+
+def _pagerank_values_sql() -> str:
+    vals = ", ".join(f"({i}, {r})" for i, r in _pagerank_expected_values())
+    return (f"SELECT CAST(id AS BIGINT) AS id, CAST(rank AS BIGINT) AS rank "
+            f"FROM (VALUES {vals}) AS t(id, rank)")
 
 
 def _kmeans_values_sql() -> str:
@@ -2611,6 +2667,7 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "outfit_text": _outfit_text_values_sql(),
         "outfit_page": _outfit_page_values_sql(),
         "kmeans_clusters_emb": _kmeans_values_sql(),
+        "pagerank_lineitem": _pagerank_values_sql(),
         "semantic_dedup_emb": _semantic_dedup_values_sql(),
         # exact self-kNN: rank by cosine DESC, dst ASC (score itself is
         # not compared — identical tie policy to ann_topk)

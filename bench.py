@@ -34,7 +34,9 @@ QUERY_NAMES = [
     "anti_join_customers", "shuffle_join_orders", "hopping_window_events",
     "token_freq_docs", "pack_bins_docs", "decontam_docs",
     "asof_join_events", "band_join_events", "quantiles_events",
-    "tfidf_topk_docs", "shuffle_rank_docs",
+    "tfidf_topk_docs", "shuffle_rank_docs", "inverted_index_docs",
+    "chunk_dedup_docs", "incremental_dedup_docs", "knn_graph_emb",
+    "semantic_dedup_emb", "pagerank_lineitem",
 ]
 
 

@@ -1,0 +1,59 @@
+"""Tests for stages/graph.py — integer-quantized PageRank: distributed
+result must be BIT-identical to a sequential Python-int reference."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from fashion_knowledge_graph_ray.stages.graph import pagerank
+
+SCALE = 10 ** 12
+
+
+def _seq_pagerank(edges, iters=10, d=85, scale=SCALE):
+    ids = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(ids)
+    deg: dict = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    rank = {i: scale // n for i in ids}
+    for _ in range(iters):
+        dangling = sum(rank[i] for i in ids if deg.get(i, 0) == 0)
+        base = (scale * (100 - d)) // (100 * n) + (dangling * d) // (100 * n)
+        acc = {i: 0 for i in ids}
+        for u, v in edges:
+            acc[v] += (rank[u] * d) // (100 * deg[u])
+        rank = {i: base + acc[i] for i in ids}
+    return rank
+
+
+def _edges_ds(edges, parts=3):
+    tbl = pa.table({"src": pa.array([a for a, _ in edges], type=pa.int64()),
+                    "dst": pa.array([b for _, b in edges], type=pa.int64())})
+    return rd.from_arrow(tbl).repartition(parts)
+
+
+def test_pagerank_matches_sequential_ints(ray_session):
+    # parallel edge, a dangling node (7), a cycle
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2), (3, 7)]
+    out = pagerank(_edges_ds(edges), iters=10, num_buckets=4).to_pandas()
+    exp = _seq_pagerank(edges)
+    assert dict(zip(out["id"], out["rank"])) == exp
+    # conservation: total mass stays within floor-leak of scale
+    assert 0 <= SCALE - out["rank"].sum() < SCALE // 10**6
+
+
+def test_pagerank_partition_invariance_random_graph(ray_session):
+    rng = np.random.default_rng(5)
+    edges = [(int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+             for _ in range(300)]
+    exp = _seq_pagerank(edges, iters=6)
+    for parts in (1, 8):
+        out = pagerank(_edges_ds(edges, parts), iters=6,
+                       num_buckets=4).to_pandas()
+        assert dict(zip(out["id"], out["rank"])) == exp
+
+
+def test_pagerank_empty(ray_session):
+    out = pagerank(_edges_ds([], 1), iters=3, num_buckets=2).to_pandas()
+    assert len(out) == 0
