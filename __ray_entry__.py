@@ -685,6 +685,26 @@ def _q_semantic_dedup_emb(sf_dir: str):
     return semantic_dedup(_aug_embeddings(sf_dir), 0.95, 8)
 
 
+def _q_hll_distinct_events(sf_dir: str):
+    # approximate distinct users per event type (HyperLogLog, p=12);
+    # oracle = sequential-reference VALUES — deterministic sketch, exact
+    # register-for-register agreement, NOT a tolerance compare
+    from fashion_knowledge_graph_ray.stages.sketches import hll_distinct
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"], blocks=16)
+    return hll_distinct(ev, ["event_type"], "user_id", num_buckets=8)
+
+
+def _q_cms_counts_events(sf_dir: str):
+    # count-min frequency estimates for the tracked event types; same
+    # deterministic-sketch oracle story as hll_distinct_events
+    from fashion_knowledge_graph_ray.stages.sketches import cms_counts
+
+    ev = _read(sf_dir, "events", ["event_type"], blocks=16)
+    return cms_counts(ev, "event_type",
+                      ["click", "view", "purchase", "signup", "error"])
+
+
 def _q_pagerank_lineitem(sf_dir: str):
     # integer-quantized PageRank over the bipartite order->part graph
     # (multigraph: duplicate (order, part) pairs each contribute); top-100
@@ -1274,6 +1294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk_docs": _q_tfidf_topk_docs,
         "kmeans_clusters_emb": _q_kmeans_clusters_emb,
         "pagerank_lineitem": _q_pagerank_lineitem,
+        "hll_distinct_events": _q_hll_distinct_events,
+        "cms_counts_events": _q_cms_counts_events,
         "knn_graph_emb": _q_knn_graph_emb,
         "semantic_dedup_emb": _q_semantic_dedup_emb,
         "quantiles_events": _q_quantiles_events,
@@ -1740,6 +1762,72 @@ def _pagerank_expected_values() -> tuple:
         rank = {i: base + acc[i] for i in ids}
     top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
     return tuple(top)
+
+
+def _hll_expected_values() -> tuple:
+    """Sequential reference for ``hll_distinct_events``: one flat pass
+    building per-group registers with the same hash/estimator primitives
+    (the seeded sketch IS the semantics) — no Ray, no batching; exercises
+    that the distributed element-wise-max merge reconstructs the same
+    registers as a single pass."""
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.stages.sketches import (
+        _hash64,
+        _hll_estimate,
+        _hll_registers,
+    )
+
+    t = pq.read_table(_ORACLE_SF_DIR + "/events.parquet",
+                      columns=["event_type", "user_id"])
+    groups: dict[str, list] = {}
+    for et, uid in zip(t["event_type"].to_pylist(), t["user_id"].to_pylist()):
+        groups.setdefault(et, []).append(uid)
+    return tuple(sorted(
+        (et, _hll_estimate(_hll_registers(_hash64(vals), 12)))
+        for et, vals in groups.items()))
+
+
+def _hll_values_sql() -> str:
+    vals = ", ".join(f"('{et}', {n})" for et, n in _hll_expected_values())
+    return (f"SELECT event_type, CAST(approx_distinct AS BIGINT) "
+            f"AS approx_distinct "
+            f"FROM (VALUES {vals}) AS t(event_type, approx_distinct)")
+
+
+def _cms_expected_values() -> tuple:
+    """Sequential reference for ``cms_counts_events``: plain Python dict
+    loops over the column with the same seeded blake2b row hash (the seed
+    schedule is the semantics) — one pass, no numpy sketch array, no
+    partial/merge structure."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    depth, width = 4, 2048
+
+    def cell(v: str, r: int) -> int:
+        h = int.from_bytes(hashlib.blake2b(
+            v.encode("utf-8"), digest_size=8,
+            salt=r.to_bytes(2, "big")).digest(), "big")
+        return h % width
+
+    t = pq.read_table(_ORACLE_SF_DIR + "/events.parquet",
+                      columns=["event_type"])
+    counters: dict[tuple[int, int], int] = {}
+    for v in t["event_type"].to_pylist():
+        for r in range(depth):
+            key = (r, cell(str(v), r))
+            counters[key] = counters.get(key, 0) + 1
+    qs = ["click", "view", "purchase", "signup", "error"]
+    return tuple((v, min(counters.get((r, cell(v, r)), 0)
+                         for r in range(depth))) for v in qs)
+
+
+def _cms_values_sql() -> str:
+    vals = ", ".join(f"('{v}', {n})" for v, n in _cms_expected_values())
+    return (f"SELECT value, CAST(approx_count AS BIGINT) AS approx_count "
+            f"FROM (VALUES {vals}) AS t(value, approx_count)")
 
 
 def _pagerank_values_sql() -> str:
@@ -2668,6 +2756,8 @@ SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "outfit_page": _outfit_page_values_sql(),
         "kmeans_clusters_emb": _kmeans_values_sql(),
         "pagerank_lineitem": _pagerank_values_sql(),
+        "hll_distinct_events": _hll_values_sql(),
+        "cms_counts_events": _cms_values_sql(),
         "semantic_dedup_emb": _semantic_dedup_values_sql(),
         # exact self-kNN: rank by cosine DESC, dst ASC (score itself is
         # not compared — identical tie policy to ann_topk)

@@ -36,7 +36,7 @@ QUERY_NAMES = [
     "asof_join_events", "band_join_events", "quantiles_events",
     "tfidf_topk_docs", "shuffle_rank_docs", "inverted_index_docs",
     "chunk_dedup_docs", "incremental_dedup_docs", "knn_graph_emb",
-    "semantic_dedup_emb", "pagerank_lineitem",
+    "semantic_dedup_emb", "pagerank_lineitem", "hll_distinct_events",
 ]
 
 
