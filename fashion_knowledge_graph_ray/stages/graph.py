@@ -33,6 +33,7 @@ parallel (src,dst) duplicates each contribute; out-degree counts edges.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -55,8 +56,9 @@ def _distinct_ids(edges_ds, src_col: str, dst_col: str, num_buckets: int):
 
 
 def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
-             damping_pct: int = 85, iters: int = 10,
-             scale: int = 10 ** 12, num_buckets: int = 64):
+             weight_col: str | None = None, damping_pct: int = 85,
+             iters: int = 10, scale: int = 10 ** 12,
+             num_buckets: int = 64, max_broadcast_nodes: int = 2_000_000):
     """Integer-quantized PageRank over a directed edge Dataset.
 
     Returns ``(id, rank)`` with ``rank`` in ``scale`` fixed-point units
@@ -67,17 +69,41 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
         rank'[v] = floor(scale * (100-d) / (100 * n))          # teleport
                  + floor(dangling * d / (100 * n))             # dangling
-                 + Σ_{u→v} floor(rank[u] * d / (100 * deg[u])) # links
+                 + Σ_{u→v} floor(rank[u] * d * w(u,v)
+                                 / (100 * W[u]))               # links
 
-    with n = node count, dangling = Σ rank of out-degree-0 nodes —
-    every term an integer, so the fixpoint trajectory is exact.
+    with n = node count, dangling = Σ rank of out-mass-0 nodes, w = the
+    integer edge weight (1 when ``weight_col`` is None — then W[u] is the
+    out-degree and this is classic PageRank) and W[u] = Σ out-weights —
+    every term an integer, so the fixpoint trajectory is exact. With
+    ``weight_col`` this ranks the engine's own KG edge table (weighted
+    co-occurrence edges, stages/aggregate.py) directly.
+
+    Two regimes, identical results (same integer formula, switched on the
+    node count — the usual two-regime design of this engine):
+
+    - **broadcast ranks** (n ≤ ``max_broadcast_nodes``): the rank vector
+      (8 B/node — 16 MB at the 2M default) broadcasts via ``ray.put``
+      each iteration; the STATIC materialized edge table streams through
+      a vectorized batch-local contribution kernel and ONE bucketed sum
+      per iteration collects per-dst totals (≤ n tiny rows) back to the
+      driver. Edges never re-shuffle.
+    - **shuffle join** (above the gate): ranks live in a distributed
+      state table; each iteration hash-joins edges with state on src and
+      reduces contributions by dst — 3 narrow exchanges per iteration,
+      nothing driver-resident.
     """
     from ray.data.aggregate import Sum
 
-    edges = edges_ds.map_batches(
-        lambda t: pa.table({"src": t[src_col].cast(pa.int64()),
-                            "dst": t[dst_col].cast(pa.int64())}),
-        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    def narrow(t: pa.Table) -> pa.Table:
+        w = (t[weight_col].cast(pa.int64()) if weight_col
+             else pa.array([1] * t.num_rows, type=pa.int64()))
+        return pa.table({"src": t[src_col].cast(pa.int64()),
+                         "dst": t[dst_col].cast(pa.int64()),
+                         "w": w})
+
+    edges = edges_ds.map_batches(narrow, batch_format="pyarrow",
+                                 zero_copy_batch=True).materialize()
 
     nodes = _distinct_ids(edges, "src", "dst", num_buckets).materialize()
     n = nodes.count()
@@ -86,10 +112,11 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             lambda t: t.append_column("rank", pa.array([], type=pa.int64())),
             batch_format="pyarrow")
 
-    # out-degree per src: per-batch partial counts, bucketed sum
+    # out-mass per src (Σ weights; = out-degree when unweighted):
+    # per-batch partials, bucketed sum
     def deg_partial(t: pa.Table) -> pa.Table:
-        g = t.group_by(["src"]).aggregate([("dst", "count")])
-        return pa.table({"id": g["src"], "deg": g["dst_count"]})
+        g = t.group_by(["src"]).aggregate([("w", "sum")])
+        return pa.table({"id": g["src"], "deg": g["w_sum"]})
 
     def deg_merge(t: pa.Table) -> pa.Table:
         g = t.group_by(["id"]).aggregate([("deg", "sum")])
@@ -99,6 +126,10 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         edges.map_batches(deg_partial, batch_format="pyarrow",
                           zero_copy_batch=True),
         ["id"], deg_merge, num_buckets=num_buckets)
+
+    if n <= max_broadcast_nodes:
+        return _pagerank_broadcast(edges, nodes, degs, n, damping_pct,
+                                   iters, scale, num_buckets)
 
     # state = (id, deg, rank); nodes absent from degs have deg 0
     def seed_bucket(t: pa.Table) -> pa.Table:
@@ -143,12 +174,15 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             for i, dg, rk in zip(s["id"].to_pylist(), s["deg"].to_pylist(),
                                  s["rank"].to_pylist()):
                 if dg:
-                    per_src[i] = (rk * d) // (100 * dg)
+                    per_src[i] = (rk * d, 100 * dg)
             acc: dict[int, int] = {}
-            for u, v in zip(e["id"].to_pylist(), e["dst"].to_pylist()):
-                c = per_src.get(u, 0)
-                if c:
-                    acc[v] = acc.get(v, 0) + c
+            for u, v, w in zip(e["id"].to_pylist(), e["dst"].to_pylist(),
+                               e["w"].to_pylist()):
+                rkd_w = per_src.get(u)
+                if rkd_w is not None:
+                    c = (rkd_w[0] * w) // rkd_w[1]
+                    if c:
+                        acc[v] = acc.get(v, 0) + c
             items = sorted(acc.items())
             return pa.table({
                 "dst": pa.array([k for k, _ in items], type=pa.int64()),
@@ -156,7 +190,7 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             })
 
         partials = bucketed_group_apply(
-            _tag(edges, 0, {"id": "src", "dst": "dst"}).union(
+            _tag(edges, 0, {"id": "src", "dst": "dst", "w": "w"}).union(
                 _tag(state, 1, {"id": "id", "deg": "deg", "rank": "rank"})),
             ["id"], contrib_bucket, num_buckets=num_buckets)
 
@@ -183,3 +217,89 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
 
     return state.map_batches(lambda t: t.select(["id", "rank"]),
                              batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pagerank_broadcast(edges, nodes, degs, n, d, iters, scale,
+                        num_buckets):
+    """Broadcast-ranks PageRank regime (see ``pagerank`` docstring).
+
+    Driver state: the sorted node-id array and one int64 rank vector
+    (8 B/node). Per iteration: ranks ``ray.put`` once; the static edge
+    table runs a vectorized contribution kernel (searchsorted src->index,
+    int64 multiply/divide, pandas groupby-sum partial per batch); one
+    bucketed sum of the partials streams ≤ n (dst, contrib) rows back.
+    Contributions use int64 vector math when ``rank*d*w`` provably fits
+    (max edge weight checked per batch) and fall back to exact Python
+    ints otherwise — both paths compute the identical floor expression.
+    """
+    import ray
+    import ray.data as rd
+
+    ids_sorted = np.sort(np.concatenate(
+        [b["id"].to_numpy(zero_copy_only=False) for b in
+         nodes.iter_batches(batch_format="pyarrow")] or
+        [np.array([], dtype=np.int64)]))
+    deg_arr = np.zeros(n, dtype=np.int64)
+    for b in degs.iter_batches(batch_format="pyarrow"):
+        idx = np.searchsorted(ids_sorted,
+                              b["id"].to_numpy(zero_copy_only=False))
+        deg_arr[idx] = b["deg"].to_numpy(zero_copy_only=False)
+    ids_ref = ray.put((ids_sorted, deg_arr)) if ray.is_initialized() \
+        else (ids_sorted, deg_arr)
+
+    rank = np.full(n, scale // n, dtype=np.int64)
+    dangling_mask = deg_arr == 0
+
+    def sum_bucket(t: pa.Table) -> pa.Table:
+        g = t.group_by(["dst"]).aggregate([("contrib", "sum")])
+        return pa.table({"dst": g["dst"], "contrib": g["contrib_sum"]})
+
+    for _ in range(iters):
+        dangling = int(rank[dangling_mask].sum())
+        base = (scale * (100 - d)) // (100 * n) + (dangling * d) // (100 * n)
+        rank_ref = ray.put(rank) if ray.is_initialized() else rank
+
+        def contrib_batch(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            ids_s, degs_s = (ray.get(ids_ref)
+                             if not isinstance(ids_ref, tuple) else ids_ref)
+            rk = rank_ref if isinstance(rank_ref, np.ndarray) \
+                else ray.get(rank_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False)
+            si = np.searchsorted(ids_s, src)
+            sd, sr = degs_s[si], rk[si]
+            valid = sd > 0
+            w_max = int(w.max()) if len(w) else 0
+            if w_max and int(sr.max()) * d * w_max < (1 << 62):
+                c = (sr * d * w) // (100 * sd)
+            else:  # exact big-int fallback (identical floor expression)
+                c = np.array([(int(r) * d * int(ww)) // (100 * int(dd))
+                              if dd else 0
+                              for r, ww, dd in zip(sr, w, sd)],
+                             dtype=np.int64)
+            mask = valid & (c > 0)
+            df = pd.DataFrame({"dst": dst[mask], "contrib": c[mask]})
+            g = df.groupby("dst", sort=True)["contrib"].sum().reset_index()
+            return pa.table({
+                "dst": pa.array(g["dst"], type=pa.int64()),
+                "contrib": pa.array(g["contrib"], type=pa.int64()),
+            })
+
+        partials = edges.map_batches(contrib_batch, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        sums = bucketed_group_apply(partials, ["dst"], sum_bucket,
+                                    num_buckets=num_buckets)
+        acc = np.zeros(n, dtype=np.int64)
+        for b in sums.iter_batches(batch_format="pyarrow"):
+            idx = np.searchsorted(ids_sorted,
+                                  b["dst"].to_numpy(zero_copy_only=False))
+            acc[idx] = b["contrib"].to_numpy(zero_copy_only=False)
+        rank = base + acc
+
+    return rd.from_arrow(pa.table({
+        "id": pa.array(ids_sorted, type=pa.int64()),
+        "rank": pa.array(rank, type=pa.int64()),
+    }))

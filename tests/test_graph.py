@@ -49,11 +49,47 @@ def test_pagerank_partition_invariance_random_graph(ray_session):
              for _ in range(300)]
     exp = _seq_pagerank(edges, iters=6)
     for parts in (1, 8):
-        out = pagerank(_edges_ds(edges, parts), iters=6,
-                       num_buckets=4).to_pandas()
-        assert dict(zip(out["id"], out["rank"])) == exp
+        # broadcast-ranks regime (default gate) and the forced shuffle-join
+        # regime must both reproduce the sequential ints exactly
+        for gate in (2_000_000, 0):
+            out = pagerank(_edges_ds(edges, parts), iters=6,
+                           num_buckets=4,
+                           max_broadcast_nodes=gate).to_pandas()
+            assert dict(zip(out["id"], out["rank"])) == exp
 
 
 def test_pagerank_empty(ray_session):
     out = pagerank(_edges_ds([], 1), iters=3, num_buckets=2).to_pandas()
     assert len(out) == 0
+
+
+def test_pagerank_weighted_matches_sequential(ray_session):
+    # weighted edges == replicating each edge `w` times in the classic
+    # formulation (exact integer identity: w scales both numerator and
+    # out-mass)
+    edges_w = [(1, 2, 3), (1, 3, 1), (2, 3, 2), (3, 1, 5)]
+    tbl = pa.table({
+        "src": pa.array([a for a, _, _ in edges_w], type=pa.int64()),
+        "dst": pa.array([b for _, b, _ in edges_w], type=pa.int64()),
+        "weight": pa.array([w for _, _, w in edges_w], type=pa.int64()),
+    })
+    outs = [pagerank(rd.from_arrow(tbl).repartition(2),
+                     weight_col="weight", iters=8, num_buckets=4,
+                     max_broadcast_nodes=gate).to_pandas()
+            for gate in (2_000_000, 0)]
+    out = outs[0]
+
+    ids = [1, 2, 3]
+    n = len(ids)
+    W = {1: 4, 2: 2, 3: 5}
+    d = 85
+    rank = {i: SCALE // n for i in ids}
+    for _ in range(8):
+        dangling = sum(rank[i] for i in ids if W.get(i, 0) == 0)
+        base = (SCALE * 15) // (100 * n) + (dangling * d) // (100 * n)
+        acc = {i: 0 for i in ids}
+        for u, v, w in edges_w:
+            acc[v] += (rank[u] * d * w) // (100 * W[u])
+        rank = {i: base + acc[i] for i in ids}
+    for o in outs:
+        assert dict(zip(o["id"], o["rank"])) == rank
