@@ -169,21 +169,33 @@ def incremental_dedup(new_ds, ref_ds, *, text_col: str = "text",
 
     mask_words = bloom_bits // 64
 
-    def bloom_partial(t: pa.Table) -> pa.Table:
-        bm = np.zeros(mask_words, dtype=np.uint64)
-        h = to_hash64(t, text_col)
+    def _bloom_slots(h: np.ndarray):
         for k in range(bloom_hashes):
             # k-th derived hash: splitmix-style remix, vectorized
             hk = (h ^ np.uint64((0x9E3779B97F4A7C15 * (k + 1))
                                 & 0xFFFFFFFFFFFFFFFF))
-            hk = (hk * np.uint64(0xBF58476D1CE4E5B9)) % np.uint64(bloom_bits)
+            yield (hk * np.uint64(0xBF58476D1CE4E5B9)) \
+                % np.uint64(bloom_bits)
+
+    # ref text is scanned and hashed ONCE; the (tiny) hash column is
+    # materialized and reused for both the bloom build and the verify
+    # anti-join's right side
+    ref_hashes = ref_ds.select_columns([text_col]).map_batches(
+        lambda t: pa.table({"__h64": pa.array(to_hash64(t, text_col),
+                                              type=pa.uint64())}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(mask_words, dtype=np.uint64)
+        h = t["__h64"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        for hk in _bloom_slots(h):
             np.bitwise_or.at(bm, (hk // np.uint64(64)).astype(np.int64),
                              np.uint64(1) << (hk % np.uint64(64)))
         return pa.table({"bitmap": pa.array([bm.tobytes()],
                                             type=pa.binary())})
 
     bloom = np.zeros(mask_words, dtype=np.uint64)
-    for b in ref_ds.select_columns([text_col]).map_batches(
+    for b in ref_hashes.map_batches(
             bloom_partial, batch_format="pyarrow",
             zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
         for raw in b["bitmap"].to_pylist():
@@ -195,17 +207,19 @@ def incremental_dedup(new_ds, ref_ds, *, text_col: str = "text",
             else ray.get(bloom_ref)
         h = to_hash64(t, text_col)
         hit = np.ones(len(h), dtype=bool)
-        for k in range(bloom_hashes):
-            hk = (h ^ np.uint64((0x9E3779B97F4A7C15 * (k + 1))
-                                & 0xFFFFFFFFFFFFFFFF))
-            hk = (hk * np.uint64(0xBF58476D1CE4E5B9)) % np.uint64(bloom_bits)
+        for hk in _bloom_slots(h):
             word = bm[(hk // np.uint64(64)).astype(np.int64)]
             hit &= (word >> (hk % np.uint64(64))) & np.uint64(1) != 0
         return t.append_column("__h64", pa.array(h, type=pa.uint64())) \
                 .append_column("__bloom_hit", pa.array(hit))
 
+    # materialized: BOTH output branches (fresh pass-through and the
+    # verify anti-join) consume it, and Ray re-executes un-materialized
+    # lineage once per consumer — re-hashing every new row twice. The
+    # incremental pattern processes one shard at a time, so pinning the
+    # shard in the object store is the intended working set.
     tagged = new_ds.map_batches(bloom_test, batch_format="pyarrow",
-                                zero_copy_batch=True)
+                                zero_copy_batch=True).materialize()
 
     def take_fresh(t: pa.Table) -> pa.Table:
         return t.filter(pc.invert(t["__bloom_hit"])) \
