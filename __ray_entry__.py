@@ -1060,6 +1060,44 @@ def _q_kg_edges(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_kg_pagerank(sf_dir: str):
+    # graph analytics over the engine's OWN weighted KG edge table:
+    # integer PageRank (3 iterations) of the co-occurrence graph, top-50
+    # entities by (rank DESC, entity ASC). oracle = the kg_edges SQL
+    # derivation (independent of Ray) + a sequential Python-int pagerank
+    # (_kg_pagerank_expected_values).
+    import pyarrow.compute as pc
+
+    from fashion_knowledge_graph_ray.stages.graph import pagerank
+
+    res = _build_kg(sf_dir, "gazetteer")
+    edges = res.dataset("edges")
+
+    def to_int(t: pa.Table) -> pa.Table:
+        # entity ids are "prod-%06d" (datagen.gen_taxonomy) — numeric tail
+        return pa.table({
+            "src": pc.utf8_slice_codeunits(t["src"], 5).cast(pa.int64()),
+            "dst": pc.utf8_slice_codeunits(t["dst"], 5).cast(pa.int64()),
+            "weight": t["weight"],
+        })
+
+    pr = pagerank(edges.map_batches(to_int, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                  weight_col="weight", iters=3, num_buckets=16)
+    top = pr.sort(["rank", "id"], descending=[True, False]).limit(50)
+
+    def back(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "entity_id": pa.array([f"prod-{i:06d}"
+                                   for i in t["id"].to_pylist()],
+                                  type=pa.string()),
+            "rank": t["rank"],
+        })
+
+    return top.map_batches(back, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def _q_kg_edges_canonical(sf_dir: str):
     # north-rule canonicalization pass wired INTO the build: MinHash-LSH
     # surface-form clusters -> canonical entity ids -> edges over canonical
@@ -1316,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spec_attrs_docs": _q_spec_attrs_docs,
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
+        "kg_pagerank": _q_kg_pagerank,
         "kg_edges_canonical": _q_kg_edges_canonical,
         "canonical_map": _q_canonical_map,
         "media_frame_sample": _q_media_frame_sample,
@@ -1830,6 +1869,44 @@ def _cms_values_sql() -> str:
             f"FROM (VALUES {vals}) AS t(value, approx_count)")
 
 
+def _kg_pagerank_expected_values() -> tuple:
+    """Sequential reference for ``kg_pagerank``: edges from the
+    independent DuckDB kg_edges derivation (`_kg_edges_sql`, no Ray),
+    then plain Python-int weighted pagerank — bit-identical by integer
+    arithmetic."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{_ORACLE_SF_DIR}/documents.parquet')")
+    rows = con.execute(_kg_edges_sql()).fetchall()
+    edges = [(int(s[5:]), int(t[5:]), int(w)) for s, t, _rel, w in rows]
+    ids = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    n = len(ids)
+    scale, d = 10 ** 12, 85
+    wsum: dict = {}
+    for u, _, w in edges:
+        wsum[u] = wsum.get(u, 0) + w
+    rank = {i: scale // n for i in ids}
+    for _ in range(3):
+        dangling = sum(rank[i] for i in ids if wsum.get(i, 0) == 0)
+        base = (scale * (100 - d)) // (100 * n) + (dangling * d) // (100 * n)
+        acc = {i: 0 for i in ids}
+        for u, v, w in edges:
+            acc[v] += (rank[u] * d * w) // (100 * wsum[u])
+        rank = {i: base + acc[i] for i in ids}
+    top = sorted(rank.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    return tuple((f"prod-{i:06d}", r) for i, r in top)
+
+
+def _kg_pagerank_values_sql() -> str:
+    vals = ", ".join(f"('{e}', {r})"
+                     for e, r in _kg_pagerank_expected_values())
+    return (f"SELECT entity_id, CAST(rank AS BIGINT) AS rank "
+            f"FROM (VALUES {vals}) AS t(entity_id, rank)")
+
+
 def _pagerank_values_sql() -> str:
     vals = ", ".join(f"({i}, {r})" for i, r in _pagerank_expected_values())
     return (f"SELECT CAST(id AS BIGINT) AS id, CAST(rank AS BIGINT) AS rank "
@@ -2153,6 +2230,35 @@ s_{field} AS (
     return cte, field
 
 
+_KG_MENTIONS_CTE = """
+WITH m AS (
+  SELECT doc_id, (doc_id * 7) % 500 AS e FROM documents WHERE doc_id % 3 <> 0
+  UNION
+  SELECT doc_id, (doc_id * 13) % 500 AS e FROM documents WHERE doc_id % 3 <> 0
+)"""
+
+
+def _kg_edges_sql() -> str:
+    """The kg_edges oracle (module-level so the kg_pagerank sequential
+    reference can reuse the same independent edge derivation)."""
+    cat_a, cat_b = _cat_case_sql("a.e"), _cat_case_sql("b.e")
+    return f"""
+{_KG_MENTIONS_CTE},
+pr AS (
+  SELECT a.doc_id,
+         printf('prod-%06d', a.e) AS ea, printf('prod-%06d', b.e) AS eb,
+         CASE WHEN {cat_a} = {cat_b} THEN 'complemented_by'
+              ELSE 'worn_with' END AS rel
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.e < b.e
+),
+bo AS (
+  SELECT ea AS src, eb AS dst, rel FROM pr
+  UNION ALL
+  SELECT eb AS src, ea AS dst, rel FROM pr
+)
+SELECT src, dst, rel, count(*) AS weight FROM bo GROUP BY 1, 2, 3"""
+
+
 def oracle_sql() -> dict[str, str]:
     toks = ("list_transform(CASE WHEN trim(text) = '' THEN [] ELSE "
             "regexp_split_to_array(trim(text), '\\s+') END, x -> lower(x))")
@@ -2167,28 +2273,9 @@ def oracle_sql() -> dict[str, str]:
     cat_a = _cat_case_sql("a.e")
     cat_b = _cat_case_sql("b.e")
 
-    kg_mentions_cte = """
-WITH m AS (
-  SELECT doc_id, (doc_id * 7) % 500 AS e FROM documents WHERE doc_id % 3 <> 0
-  UNION
-  SELECT doc_id, (doc_id * 13) % 500 AS e FROM documents WHERE doc_id % 3 <> 0
-)"""
+    kg_mentions_cte = _KG_MENTIONS_CTE
 
-    kg_edges_sql = f"""
-{kg_mentions_cte},
-pr AS (
-  SELECT a.doc_id,
-         printf('prod-%06d', a.e) AS ea, printf('prod-%06d', b.e) AS eb,
-         CASE WHEN {cat_a} = {cat_b} THEN 'complemented_by'
-              ELSE 'worn_with' END AS rel
-  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.e < b.e
-),
-bo AS (
-  SELECT ea AS src, eb AS dst, rel FROM pr
-  UNION ALL
-  SELECT eb AS src, ea AS dst, rel FROM pr
-)
-SELECT src, dst, rel, count(*) AS weight FROM bo GROUP BY 1, 2, 3"""
+    kg_edges_sql = _kg_edges_sql()
 
     kg_edges_canon_sql = f"""
 {kg_mentions_cte},
@@ -2745,6 +2832,7 @@ LEFT JOIN (SELECT doc_id, v FROM s_pattern WHERE rn = 1) a3 USING (doc_id)"""),
         "kg_mentions": kg_mentions_cte + """
 SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges": kg_edges_sql,
+        "kg_pagerank": _kg_pagerank_values_sql(),
         "kg_edges_canonical": kg_edges_canon_sql,
         "canonical_map": _canonical_map_values_sql(),
         "kg_triples_embedding": _kg_triples_values_sql(),

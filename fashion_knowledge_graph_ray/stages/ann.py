@@ -310,22 +310,60 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
         ref = ray.put((corpus_ids, corpus)) if ray.is_initialized() \
             else (corpus_ids, corpus)
 
+        CHUNK = 8192  # corpus columns per matmul: the (batch × corpus)
+        # sims matrix would be ~1.6 GB at batch 2048 × corpus 100k float64;
+        # chunking bounds per-task transient memory to batch × CHUNK
+        # (~128 MB) with a running per-row top-k merge across chunks.
+
         def exact(batch: pa.Table) -> pa.Table:
             cids, cmat = ray.get(ref) if not isinstance(ref, tuple) else ref
             ids = np.asarray(batch[id_col].to_pylist())
             mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
                                        for v in batch[emb_col].to_pylist()]))
-            sims = mat @ cmat.T  # (b, n)
-            # exclude self by id (robust to duplicate vectors)
-            sims[ids[:, None] == cids[None, :]] = -np.inf
-            kk = min(k, sims.shape[1] - 1) if sims.shape[1] > 1 else 0
+            b = len(ids)
+            ncand = len(cids)
+            kk = min(k, ncand - 1) if ncand > 1 else 0
             out_s, out_d, out_r = [], [], []
             if kk > 0:
-                order = np.lexsort(
-                    (np.broadcast_to(cids, sims.shape), -sims), axis=1)[:, :kk]
-                for i in range(len(ids)):
+                # running candidates: (b, ≤2k) best-so-far scores/ids
+                best_s = np.full((b, 0), -np.inf)
+                best_i = np.zeros((b, 0), dtype=np.int64)
+                for c0 in range(0, ncand, CHUNK):
+                    sims = mat @ cmat[c0:c0 + CHUNK].T
+                    chunk_ids = cids[c0:c0 + CHUNK]
+                    sims[ids[:, None] == chunk_ids[None, :]] = -np.inf
+                    cw = min(kk, sims.shape[1])
+                    rows = np.arange(b)[:, None]
+                    part = np.argpartition(-sims, cw - 1, axis=1)[:, :cw]
+                    # tie guard: argpartition's pick among boundary-score
+                    # ties is arbitrary, but the contract breaks ties by
+                    # dst ASC — rows where an EXCLUDED element ties the
+                    # kept minimum re-select with a full (score, id) sort
+                    # (rare: needs exactly-equal float scores, i.e.
+                    # duplicate vectors)
+                    kmin = sims[rows, part].min(axis=1)
+                    masked = sims.copy()
+                    masked[rows, part] = -np.inf
+                    for r in np.where(masked.max(axis=1) >= kmin)[0]:
+                        part[r] = np.lexsort(
+                            (chunk_ids, -sims[r]))[:cw]
+                    best_s = np.concatenate([best_s, sims[rows, part]],
+                                            axis=1)
+                    best_i = np.concatenate(
+                        [best_i, chunk_ids[part]], axis=1)
+                    if best_s.shape[1] > 2 * kk:
+                        # small width (≤ 3k): full (score, id) lexsort is
+                        # cheap and tie-exact
+                        keep = np.lexsort((best_i, -best_s),
+                                          axis=1)[:, :kk]
+                        best_s = best_s[rows, keep]
+                        best_i = best_i[rows, keep]
+                order = np.lexsort((best_i, -best_s), axis=1)[:, :kk]
+                rows = np.arange(b)[:, None]
+                top_i = best_i[rows, order]
+                for i in range(b):
                     out_s.extend([ids[i]] * kk)
-                    out_d.extend(cids[order[i]].tolist())
+                    out_d.extend(top_i[i].tolist())
                     out_r.extend(range(1, kk + 1))
             return pa.table({"src": pa.array(out_s, type=pa.int64()),
                              "dst": pa.array(out_d, type=pa.int64()),

@@ -167,26 +167,39 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
         # contributions: edges ⋈ state on src (one exchange), partials
         # pre-aggregated per bucket by dst
         def contrib_bucket(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
             side = t["__side"].to_numpy(zero_copy_only=False)
             e = t.filter(pa.array(side == 0))
             s = t.filter(pa.array(side == 1))
-            per_src = {}
-            for i, dg, rk in zip(s["id"].to_pylist(), s["deg"].to_pylist(),
-                                 s["rank"].to_pylist()):
-                if dg:
-                    per_src[i] = (rk * d, 100 * dg)
-            acc: dict[int, int] = {}
-            for u, v, w in zip(e["id"].to_pylist(), e["dst"].to_pylist(),
-                               e["w"].to_pylist()):
-                rkd_w = per_src.get(u)
-                if rkd_w is not None:
-                    c = (rkd_w[0] * w) // rkd_w[1]
-                    if c:
-                        acc[v] = acc.get(v, 0) + c
-            items = sorted(acc.items())
+            edf = pd.DataFrame({
+                "id": e["id"].to_numpy(zero_copy_only=False),
+                "dst": e["dst"].to_numpy(zero_copy_only=False),
+                "w": e["w"].to_numpy(zero_copy_only=False)})
+            sdf = pd.DataFrame({
+                "id": s["id"].to_numpy(zero_copy_only=False),
+                "deg": s["deg"].to_numpy(zero_copy_only=False),
+                "rank": s["rank"].to_numpy(zero_copy_only=False)})
+            m = edf.merge(sdf[sdf["deg"] > 0], on="id", how="inner")
+            if len(m) == 0:
+                return pa.table({
+                    "dst": pa.array([], type=pa.int64()),
+                    "contrib": pa.array([], type=pa.int64())})
+            rk = m["rank"].to_numpy()
+            w = m["w"].to_numpy()
+            dg = m["deg"].to_numpy()
+            if int(rk.max()) * d * int(w.max()) < (1 << 62):
+                c = (rk * d * w) // (100 * dg)  # int64-safe fast path
+            else:  # exact big-int fallback, identical floor expression
+                c = np.array([(int(r) * d * int(ww)) // (100 * int(gg))
+                              for r, ww, gg in zip(rk, w, dg)],
+                             dtype=np.int64)
+            g = pd.DataFrame({"dst": m["dst"].to_numpy(), "contrib": c})
+            g = g[g["contrib"] > 0] \
+                .groupby("dst", sort=True)["contrib"].sum().reset_index()
             return pa.table({
-                "dst": pa.array([k for k, _ in items], type=pa.int64()),
-                "contrib": pa.array([v for _, v in items], type=pa.int64()),
+                "dst": pa.array(g["dst"], type=pa.int64()),
+                "contrib": pa.array(g["contrib"], type=pa.int64()),
             })
 
         partials = bucketed_group_apply(

@@ -326,3 +326,24 @@ def test_semantic_dedup_drops_planted_dups(ray_session):
     a = sorted(map(tuple, out.fillna(-1).to_numpy()))
     b = sorted(map(tuple, out2.fillna(-1).to_numpy()))
     assert a == b
+
+
+def test_knn_graph_tie_break_with_duplicate_vectors(ray_session):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.ann import knn_graph
+
+    # ids 0..7 all share ONE identical vector -> every neighbor score
+    # ties at 1.0 and the (score DESC, dst ASC) rule fully determines
+    # the graph; chunking must not disturb the tie order
+    rng = np.random.default_rng(2)
+    v = rng.standard_normal(8).tolist()
+    tbl = pa.table({
+        "vec_id": pa.array(range(8), type=pa.int64()),
+        "embedding": pa.array([v] * 8, type=pa.list_(pa.float64())),
+    })
+    out = knn_graph(rd.from_arrow(tbl).repartition(3), 3).to_pandas()
+    for src in range(8):
+        dsts = out[out["src"] == src].sort_values("rank")["dst"].tolist()
+        exp = [i for i in range(8) if i != src][:3]
+        assert dsts == exp
