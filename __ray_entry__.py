@@ -1098,6 +1098,45 @@ def _q_kg_pagerank(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def _q_triangles_parts(sf_dir: str):
+    # degree-ordered wedge-join triangle counting over the part
+    # co-occurrence graph (G1's TPC-H analog: order=page, part=entity),
+    # 10%-of-orders subgraph so the wedge set stays bounded at bench
+    # scale; oracle = pure-SQL triangle enumeration over the same edges.
+    # (The synthetic web-KG graph is triangle-free at sf0.01 — a 0=0
+    # oracle match would exercise nothing.)
+    import pyarrow.compute as pc
+
+    from fashion_knowledge_graph_ray.stages.bucketed import (
+        bucketed_group_apply,
+    )
+    from fashion_knowledge_graph_ray.stages.graph import triangle_counts
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"], blocks=16)
+
+    def keep_tenth(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ok % 10 == 0))
+
+    sub = li.map_batches(keep_tenth, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+    def pair_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"ok": t["l_orderkey"].to_pandas(),
+                           "pk": t["l_partkey"].to_pandas()}) \
+            .drop_duplicates()
+        j = df.merge(df, on="ok")
+        j = j[j["pk_x"] < j["pk_y"]][["pk_x", "pk_y"]].drop_duplicates()
+        return pa.table({"src": pa.array(j["pk_x"], type=pa.int64()),
+                         "dst": pa.array(j["pk_y"], type=pa.int64())})
+
+    edges = bucketed_group_apply(sub, ["l_orderkey"], pair_bucket,
+                                 num_buckets=16)
+    return triangle_counts(edges, num_buckets=16)
+
+
 def _q_kg_edges_canonical(sf_dir: str):
     # north-rule canonicalization pass wired INTO the build: MinHash-LSH
     # surface-form clusters -> canonical entity ids -> edges over canonical
@@ -1355,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "kg_pagerank": _q_kg_pagerank,
+        "triangles_parts": _q_triangles_parts,
         "kg_edges_canonical": _q_kg_edges_canonical,
         "canonical_map": _q_canonical_map,
         "media_frame_sample": _q_media_frame_sample,
@@ -2833,6 +2873,20 @@ LEFT JOIN (SELECT doc_id, v FROM s_pattern WHERE rn = 1) a3 USING (doc_id)"""),
 SELECT doc_id, printf('prod-%06d', e) AS entity_id FROM m""",
         "kg_edges": kg_edges_sql,
         "kg_pagerank": _kg_pagerank_values_sql(),
+        "triangles_parts": """
+WITH mm AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+            FROM lineitem WHERE l_orderkey % 10 = 0),
+und AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        FROM mm a JOIN mm b ON a.ok = b.ok AND a.pk < b.pk),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+c AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri)
+SELECT id, count(*) AS triangles FROM c GROUP BY id""",
         "kg_edges_canonical": kg_edges_canon_sql,
         "canonical_map": _canonical_map_values_sql(),
         "kg_triples_embedding": _kg_triples_values_sql(),

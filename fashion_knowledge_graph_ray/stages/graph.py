@@ -316,3 +316,212 @@ def _pagerank_broadcast(edges, nodes, degs, n, d, iters, scale,
         "id": pa.array(ids_sorted, type=pa.int64()),
         "rank": pa.array(rank, type=pa.int64()),
     }))
+
+
+def triangle_counts(edges_ds, *, src_col: str = "src",
+                    dst_col: str = "dst", num_buckets: int = 64,
+                    max_broadcast_nodes: int = 2_000_000):
+    """Per-node triangle counts of the UNDIRECTED simple graph underlying
+    a directed edge Dataset (direction and parallel edges collapse).
+    Output: ``(id, triangles)`` for nodes in ≥1 triangle.
+
+    The degree-ordered wedge-join algorithm (the MapReduce-classic
+    node-iterator++):
+
+    1. distinct undirected pairs ``(a<b)`` — one bucketed distinct;
+    2. degrees over those pairs — one bucketed sum;
+    3. orient every edge from its lower-``(deg, id)`` endpoint to the
+       higher — out-degrees are then O(sqrt(m)), the standard bound that
+       keeps the wedge set near-linear in m on power-law graphs;
+    4. wedges: group oriented edges by source, emit each out-neighbor
+       pair — a bucketed groupby;
+    5. close: hash-join wedge endpoint pairs against the oriented edge
+       set on the pair key — one more bucketed exchange; every match is
+       one triangle, credited to all three corners via a final bucketed
+       sum.
+
+    The degree map broadcasts via ``ray.put`` under
+    ``max_broadcast_nodes`` (8–30 B/node); above the gate step 3 becomes
+    two ``shuffle_join``s against the degree table (same orientation
+    rule, nothing driver-resident). Ids may be any hashable Arrow type
+    (the KG's string entity ids included).
+    """
+    import ray
+
+    from .relational import shuffle_join
+
+    id_type = None
+
+    def und_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        a = t[src_col].to_pandas()
+        b = t[dst_col].to_pandas()
+        lo = a.where(a < b, b)
+        hi = b.where(a < b, a)
+        df = pd.DataFrame({"a": lo, "b": hi})
+        df = df[df["a"] != df["b"]].drop_duplicates()
+        return pa.table({"a": pa.Array.from_pandas(df["a"]),
+                         "b": pa.Array.from_pandas(df["b"])})
+
+    def und_distinct(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"a": t["a"].to_pandas(),
+                           "b": t["b"].to_pandas()}).drop_duplicates()
+        return pa.table({"a": pa.Array.from_pandas(df["a"]),
+                         "b": pa.Array.from_pandas(df["b"])})
+
+    und = bucketed_group_apply(
+        edges_ds.map_batches(und_partial, batch_format="pyarrow",
+                             zero_copy_batch=True),
+        ["a", "b"], und_distinct, num_buckets=num_buckets).materialize()
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.concat([t["a"].to_pandas(), t["b"].to_pandas()])
+        g = s.value_counts().reset_index()
+        g.columns = ["id", "deg"]
+        return pa.table({"id": pa.Array.from_pandas(g["id"]),
+                         "deg": pa.array(g["deg"], type=pa.int64())})
+
+    def deg_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["id"]).aggregate([("deg", "sum")])
+        return pa.table({"id": g["id"], "deg": g["deg_sum"]})
+
+    degs = bucketed_group_apply(
+        und.map_batches(deg_partial, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["id"], deg_merge, num_buckets=num_buckets)
+
+    n = degs.count()
+    if n <= max_broadcast_nodes:
+        dm: dict = {}
+        for b in degs.iter_batches(batch_format="pyarrow"):
+            dm.update(zip(b["id"].to_pylist(), b["deg"].to_pylist()))
+        dref = ray.put(dm) if ray.is_initialized() else dm
+
+        def orient(t: pa.Table) -> pa.Table:
+            d = dref if isinstance(dref, dict) else ray.get(dref)
+            a = t["a"].to_pylist()
+            b = t["b"].to_pylist()
+            lo, hi, dv = [], [], []
+            for x, y in zip(a, b):
+                # orient from lower (deg, id) to higher; carry the head's
+                # degree so wedge pairs can be ordered by the SAME total
+                # order the closing edge was stored under
+                if (d[x], x) <= (d[y], y):
+                    lo.append(x)
+                    hi.append(y)
+                    dv.append(d[y])
+                else:
+                    lo.append(y)
+                    hi.append(x)
+                    dv.append(d[x])
+            return pa.table({"u": pa.array(lo, type=t["a"].type),
+                             "v": pa.array(hi, type=t["b"].type),
+                             "dv": pa.array(dv, type=pa.int64())})
+
+        oriented = und.map_batches(orient, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    else:
+        j1 = shuffle_join(und, degs, "a", "id", suffix="_da",
+                          num_buckets=num_buckets)
+        j1 = j1.map_batches(
+            lambda t: t.rename_columns(
+                [{"deg": "deg_a"}.get(c, c) for c in t.column_names]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        j2 = shuffle_join(j1, degs, "b", "id", suffix="_db",
+                          num_buckets=num_buckets)
+
+        def orient_j(t: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            df = pd.DataFrame({
+                "a": t["a"].to_pandas(), "b": t["b"].to_pandas(),
+                "da": t["deg_a"].to_pandas(), "db": t["deg"].to_pandas()})
+            fwd = (df["da"] < df["db"]) | ((df["da"] == df["db"])
+                                           & (df["a"] <= df["b"]))
+            u = df["a"].where(fwd, df["b"])
+            v = df["b"].where(fwd, df["a"])
+            dv = df["db"].where(fwd, df["da"])
+            return pa.table({"u": pa.Array.from_pandas(u),
+                             "v": pa.Array.from_pandas(v),
+                             "dv": pa.array(dv, type=pa.int64())})
+
+        oriented = j2.map_batches(orient_j, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    oriented = oriented.materialize()
+
+    def wedges_of(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame({"u": t["u"].to_pandas(),
+                           "v": t["v"].to_pandas(),
+                           "dv": t["dv"].to_pandas()})
+        out_u, out_v, out_w = [], [], []
+        for u, grp in df.groupby("u", sort=True):
+            # neighbor pairs ordered by the orientation total order
+            # (deg, id) — the closing edge between them is stored under
+            # exactly this order, so the join key matches
+            nbrs = sorted(zip(grp["dv"], grp["v"]))
+            for i in range(len(nbrs)):
+                for j in range(i + 1, len(nbrs)):
+                    out_u.append(u)
+                    out_v.append(nbrs[i][1])
+                    out_w.append(nbrs[j][1])
+        return pa.table({"cu": pa.array(out_u, type=t["u"].type),
+                         "v": pa.array(out_v, type=t["v"].type),
+                         "w": pa.array(out_w, type=t["v"].type)})
+
+    wedges = bucketed_group_apply(oriented, ["u"], wedges_of,
+                                  num_buckets=num_buckets)
+
+    # close wedges against oriented edges on the (v, w) pair key
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        return pa.table({"v": t["v"], "w": t["w"], "cu": t["cu"],
+                         "__side": pa.array([0] * t.num_rows,
+                                            type=pa.int64())})
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        nulls = pa.nulls(t.num_rows, type=t["u"].type)
+        return pa.table({"v": t["u"], "w": t["v"], "cu": nulls,
+                         "__side": pa.array([1] * t.num_rows,
+                                            type=pa.int64())})
+
+    both = wedges.map_batches(tag_wedge, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        oriented.map_batches(tag_edge, batch_format="pyarrow",
+                             zero_copy_batch=True))
+
+    def close_bucket(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        wt = t.filter(pa.array(side == 0))
+        et = t.filter(pa.array(side == 1))
+        wdf = pd.DataFrame({"v": wt["v"].to_pandas(),
+                            "w": wt["w"].to_pandas(),
+                            "cu": wt["cu"].to_pandas()})
+        edf = pd.DataFrame({"v": et["v"].to_pandas(),
+                            "w": et["w"].to_pandas()})
+        m = wdf.merge(edf.drop_duplicates(), on=["v", "w"], how="inner")
+        # per-corner partial counts within the bucket
+        s = pd.concat([m["cu"], m["v"], m["w"]])
+        g = s.value_counts().reset_index()
+        g.columns = ["id", "triangles"]
+        return pa.table({"id": pa.Array.from_pandas(g["id"]),
+                         "triangles": pa.array(g["triangles"],
+                                               type=pa.int64())})
+
+    partials = bucketed_group_apply(both, ["v", "w"], close_bucket,
+                                    num_buckets=num_buckets)
+
+    def count_merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["id"]).aggregate([("triangles", "sum")])
+        return pa.table({"id": g["id"], "triangles": g["triangles_sum"]})
+
+    return bucketed_group_apply(partials, ["id"], count_merge,
+                                num_buckets=num_buckets)

@@ -93,3 +93,49 @@ def test_pagerank_weighted_matches_sequential(ray_session):
         rank = {i: base + acc[i] for i in ids}
     for o in outs:
         assert dict(zip(o["id"], o["rank"])) == rank
+
+
+def _seq_triangles(edges):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            for node in (a, b, c):
+                counts[node] = counts.get(node, 0) + 1
+    # each triangle seen via 3 edges -> corner counted 3x
+    return {k: v // 3 for k, v in counts.items() if v // 3 > 0}
+
+
+def test_triangle_counts_random_vs_bruteforce(ray_session):
+    from fashion_knowledge_graph_ray.stages.graph import triangle_counts
+
+    rng = np.random.default_rng(17)
+    # skewed degrees: a few hubs force wedge pairs whose value order
+    # disagrees with the (deg, id) orientation order — the case the
+    # closing-edge join must still match
+    edges = [(int(rng.integers(0, 12)), int(rng.integers(0, 60)))
+             for _ in range(250)]
+    exp = _seq_triangles(edges)
+    for gate in (2_000_000, 0):  # broadcast-deg and shuffle-orient regimes
+        out = triangle_counts(_edges_ds(edges, 5), num_buckets=4,
+                              max_broadcast_nodes=gate).to_pandas()
+        assert dict(zip(out["id"], out["triangles"])) == exp
+
+
+def test_triangle_counts_string_ids(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.graph import triangle_counts
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    tbl = pa.table({"src": [e[0] for e in edges],
+                    "dst": [e[1] for e in edges]})
+    out = triangle_counts(rd.from_arrow(tbl).repartition(2),
+                          num_buckets=2).to_pandas()
+    assert dict(zip(out["id"], out["triangles"])) == \
+        {"a": 1, "b": 1, "c": 1}
