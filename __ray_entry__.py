@@ -705,6 +705,23 @@ def _q_cms_counts_events(sf_dir: str):
                       ["click", "view", "purchase", "signup", "error"])
 
 
+def _q_bigram_counts_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.corpus import ngram_counts
+
+    docs = _read(sf_dir, "documents", ["text"], blocks=64)
+    return ngram_counts(docs, 2, num_buckets=16)
+
+
+def _q_json_flatten_events(sf_dir: str):
+    # schema-on-read extraction from the JSON props column
+    from fashion_knowledge_graph_ray.stages.semistructured import (
+        json_flatten,
+    )
+
+    ev = _read(sf_dir, "events", ["event_id", "props"], blocks=16)
+    return json_flatten(ev, "props", {"k": ("k", pa.int64())})
+
+
 def _q_pagerank_lineitem(sf_dir: str):
     # integer-quantized PageRank over the bipartite order->part graph
     # (multigraph: duplicate (order, part) pairs each contribute); top-100
@@ -1372,6 +1389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters_emb": _q_kmeans_clusters_emb,
         "pagerank_lineitem": _q_pagerank_lineitem,
         "hll_distinct_events": _q_hll_distinct_events,
+        "bigram_counts_docs": _q_bigram_counts_docs,
+        "json_flatten_events": _q_json_flatten_events,
         "cms_counts_events": _q_cms_counts_events,
         "knn_graph_emb": _q_knn_graph_emb,
         "semantic_dedup_emb": _q_semantic_dedup_emb,
@@ -2899,6 +2918,22 @@ SELECT id, count(*) AS triangles FROM c GROUP BY id""",
         "kmeans_clusters_emb": _kmeans_values_sql(),
         "pagerank_lineitem": _pagerank_values_sql(),
         "hll_distinct_events": _hll_values_sql(),
+        "bigram_counts_docs": r"""
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+  FROM documents
+),
+g AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> array_to_string(w[i:i+1], ' ')))
+           AS gram
+  FROM t WHERE len(w) >= 2
+)
+SELECT gram, count(*) AS n FROM g GROUP BY gram""",
+        "json_flatten_events": """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events""",
         "cms_counts_events": _cms_values_sql(),
         "semantic_dedup_emb": _semantic_dedup_values_sql(),
         # exact self-kNN: rank by cosine DESC, dst ASC (score itself is

@@ -423,6 +423,40 @@ def doc_frequencies(docs_ds, *, text_col: str = "text",
         ["token"], merge, num_buckets=num_buckets)
 
 
+def ngram_counts(docs_ds, n: int, *, text_col: str = "text",
+                 num_buckets: int = 16):
+    """Corpus n-gram counts: ``(gram, count)`` with gram = the
+    space-joined window of ``n`` consecutive ``\\S+`` tokens (documents
+    shorter than ``n`` tokens contribute nothing). ``n=1`` degenerates
+    to the word count; ``n=2,3`` are the n-gram-LM / collocation tables.
+    Same exchange shape as ``corpus_token_counts``: per-batch Counter
+    partials (a hot gram ships one int row per block), bucketed merge."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for x in t[text_col].to_pylist():
+            w = tokens(x)
+            c.update(" ".join(w[i:i + n]) for i in range(len(w) - n + 1))
+        items = sorted(c.items())
+        return pa.table({
+            "gram": pa.array([k for k, _ in items], type=pa.string()),
+            "n": pa.array([v for _, v in items], type=pa.int64()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        g = t.group_by(["gram"]).aggregate([("n", "sum")])
+        return pa.table({"gram": g["gram"], "n": g["n_sum"]})
+
+    return bucketed_group_apply(
+        docs_ds.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["gram"], merge, num_buckets=num_buckets)
+
+
 def inverted_index(docs_ds, *, text_col: str = "text",
                    id_col: str = "doc_id", num_buckets: int = 16,
                    postings_cap: int = 100_000):
