@@ -705,6 +705,44 @@ def _q_cms_counts_events(sf_dir: str):
                       ["click", "view", "purchase", "signup", "error"])
 
 
+_BM25_TERMS = ["spark", "vector", "window"]
+
+
+def _q_bm25_topk_docs(sf_dir: str):
+    from fashion_knowledge_graph_ray.stages.corpus import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"], blocks=64)
+    return bm25_topk(docs, _BM25_TERMS, 20)
+
+
+def _bm25_sql() -> str:
+    """SQL mirror of the integer BM25 (k1=1200, b=750 per-mille) — every
+    subexpression is the identical BIGINT floor arithmetic, so the
+    ranking hash-matches bit-for-bit."""
+    w_expr = (r"CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+              r"ELSE regexp_split_to_array(trim(text), '\s+') END")
+    dfs = ", ".join(
+        f"(SELECT count(*) FROM st WHERE list_contains(w, '{w}')) AS df_{i}"
+        for i, w in enumerate(_BM25_TERMS))
+    score_terms = " + ".join(
+        f"(CASE WHEN len(list_filter(w, x -> x = '{w}')) > 0 "
+        f"AND df_{i} > 0 THEN "
+        f"((1000 * n) // df_{i}) * "
+        f"(len(list_filter(w, x -> x = '{w}')) * 2200) // "
+        f"(len(list_filter(w, x -> x = '{w}')) * 1000 + "
+        f"(1200 * (250 + (750 * dl) // avgdl)) // 1000) ELSE 0 END)"
+        for i, w in enumerate(_BM25_TERMS))
+    return f"""
+WITH t AS (SELECT doc_id, {w_expr} AS w FROM documents),
+st AS (SELECT doc_id, w, len(w) AS dl FROM t),
+tot AS (SELECT count(*) AS n,
+               greatest(1, sum(len(w)) // count(*)) AS avgdl FROM t),
+prm AS (SELECT n, avgdl, {dfs} FROM tot),
+s AS (SELECT doc_id, CAST({score_terms} AS BIGINT) AS score FROM st, prm)
+SELECT doc_id, score FROM s WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+
 def _q_bigram_counts_docs(sf_dir: str):
     from fashion_knowledge_graph_ray.stages.corpus import ngram_counts
 
@@ -1390,6 +1428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_lineitem": _q_pagerank_lineitem,
         "hll_distinct_events": _q_hll_distinct_events,
         "bigram_counts_docs": _q_bigram_counts_docs,
+        "bm25_topk_docs": _q_bm25_topk_docs,
         "json_flatten_events": _q_json_flatten_events,
         "cms_counts_events": _q_cms_counts_events,
         "knn_graph_emb": _q_knn_graph_emb,
@@ -2934,6 +2973,7 @@ SELECT gram, count(*) AS n FROM g GROUP BY gram""",
         "json_flatten_events": """
 SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
 FROM events""",
+        "bm25_topk_docs": _bm25_sql(),
         "cms_counts_events": _cms_values_sql(),
         "semantic_dedup_emb": _semantic_dedup_values_sql(),
         # exact self-kNN: rank by cosine DESC, dst ASC (score itself is

@@ -457,6 +457,105 @@ def ngram_counts(docs_ds, n: int, *, text_col: str = "text",
         ["gram"], merge, num_buckets=num_buckets)
 
 
+def bm25_topk(docs_ds, query_tokens: list[str], k: int, *,
+              text_col: str = "text", id_col: str = "doc_id",
+              k1_milli: int = 1200, b_milli: int = 750):
+    """Top-``k`` documents for a bag-of-tokens query by integer-quantized
+    BM25 (k1/b in integer per-mille; defaults 1.2 / 0.75).
+
+    Per (doc, term), with dl = doc token count and avgdl = corpus mean
+    (integer floor)::
+
+        norm  = (1000 - b) + (b * dl) // avgdl
+        s_t   = idf * (tf * (k1 + 1000)) // (tf*1000 + (k1 * norm)//1000)
+        idf   = (1000 * N) // df_t
+
+    score = Σ s_t over query terms with tf > 0; rank (score DESC, id
+    ASC). Every operation is integer, so the ranking is bit-identical
+    across engines and partitionings (same rationale as ``tfidf_topk``).
+
+    Scale shape: pass 1 is ONE narrow scan emitting per-batch (term, df)
+    partials plus a (Σdl, n_docs) meta row — the driver folds a
+    query-terms-sized table, never documents; the per-term idf table and
+    avgdl broadcast in the scoring closure; pass 2 scores batch-locally
+    and only the global (score, id) top-k sort moves rows, pre-cut to
+    score > 0."""
+    import ray
+
+    terms = sorted(set(query_tokens))
+    if not terms or k <= 0:
+        raise ValueError("need at least one query token and k > 0")
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        dfs = {w: 0 for w in terms}
+        dl_sum = 0
+        n_docs = 0
+        for x in t[text_col].to_pylist():
+            tks = tokens(x)
+            dl_sum += len(tks)
+            n_docs += 1
+            ts = set(tks)
+            for w in terms:
+                if w in ts:
+                    dfs[w] += 1
+        return pa.table({
+            "term": pa.array(terms + ["\x00meta"], type=pa.string()),
+            "df": pa.array([dfs[w] for w in terms] + [0], type=pa.int64()),
+            "dl_sum": pa.array([0] * len(terms) + [dl_sum],
+                               type=pa.int64()),
+            "n_docs": pa.array([0] * len(terms) + [n_docs],
+                               type=pa.int64()),
+        })
+
+    df_tot = {w: 0 for w in terms}
+    sdl = 0
+    n = 0
+    for b in docs_ds.select_columns([text_col]).map_batches(
+            stats_partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        for term, df, dls, nd in zip(b["term"].to_pylist(),
+                                     b["df"].to_pylist(),
+                                     b["dl_sum"].to_pylist(),
+                                     b["n_docs"].to_pylist()):
+            if term == "\x00meta":
+                sdl += dls
+                n += nd
+            else:
+                df_tot[term] += df
+    if n == 0:
+        return docs_ds.map_batches(
+            lambda t: pa.table({id_col: pa.array([], type=pa.int64()),
+                                "score": pa.array([], type=pa.int64())}),
+            batch_format="pyarrow")
+    avgdl = max(1, sdl // n)
+    idf = {w: (1000 * n) // df_tot[w] for w in terms if df_tot[w] > 0}
+    ref = ray.put((idf, avgdl)) if ray.is_initialized() else (idf, avgdl)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ref if isinstance(ref, tuple) else ray.get(ref)
+        ids, scores = [], []
+        for i, x in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
+            tks = tokens(x)
+            dl = len(tks)
+            norm = (1000 - b_milli) + (b_milli * dl) // avgdl_
+            s = 0
+            for w, widf in idf_.items():
+                tf = tks.count(w)
+                if tf:
+                    s += widf * (tf * (k1_milli + 1000)) // (
+                        tf * 1000 + (k1_milli * norm) // 1000)
+            if s > 0:
+                ids.append(i)
+                scores.append(s)
+        return pa.table({id_col: pa.array(ids, type=t[id_col].type),
+                         "score": pa.array(scores, type=pa.int64())})
+
+    scored = docs_ds.map_batches(score_batch, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return scored.sort(["score", id_col],
+                       descending=[True, False]).limit(k)
+
+
 def inverted_index(docs_ds, *, text_col: str = "text",
                    id_col: str = "doc_id", num_buckets: int = 16,
                    postings_cap: int = 100_000):

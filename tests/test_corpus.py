@@ -206,3 +206,40 @@ def test_inverted_index_postings_cap(ray_session):
     assert row["df"] == 10                      # df counts ALL docs
     assert row["postings"] == "0,1,2,3"          # capped ascending
     assert bool(row["postings_truncated"])
+
+
+def test_bm25_topk_matches_sequential(ray_session):
+    from fashion_knowledge_graph_ray.stages.corpus import bm25_topk
+
+    tbl = _docs(120)
+    ds = rd.from_arrow(tbl).repartition(6)
+    out = bm25_topk(ds, ["red", "silk"], 10).to_pandas()
+
+    # sequential integer reference
+    texts = tbl["text"].to_pylist()
+    ids = tbl["doc_id"].to_pylist()
+    docs = [tokens(x) for x in texts]
+    n = len(docs)
+    avgdl = max(1, sum(len(d) for d in docs) // n)
+    scores = {}
+    for w in ("red", "silk"):
+        df = sum(1 for d in docs if w in d)
+        if not df:
+            continue
+        idf = (1000 * n) // df
+        for i, d in zip(ids, docs):
+            tf = d.count(w)
+            if tf:
+                norm = 250 + (750 * len(d)) // avgdl
+                scores[i] = scores.get(i, 0) + idf * (tf * 2200) // (
+                    tf * 1000 + (1200 * norm) // 1000)
+    exp = sorted(((s, i) for i, s in scores.items()),
+                 key=lambda t: (-t[0], t[1]))[:10]
+    assert list(zip(out["score"], out["doc_id"])) == exp
+
+
+def test_bm25_rejects_empty_query(ray_session):
+    from fashion_knowledge_graph_ray.stages.corpus import bm25_topk
+
+    with pytest.raises(ValueError):
+        bm25_topk(rd.from_arrow(_docs(50)), [], 5)
