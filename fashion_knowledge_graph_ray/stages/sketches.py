@@ -38,6 +38,19 @@ def _hash64(values: list) -> np.ndarray:
          for v in values], dtype=np.uint64)
 
 
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros over uint64 (callers
+    guarantee x > 0): 6-step binary search in pure integer ops — no
+    float log2 (imprecise ≥ 2^53), no per-element Python."""
+    clz = np.zeros(len(x), dtype=np.int64)
+    y = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = (y >> np.uint64(64 - s)) == 0
+        clz[m] += s
+        y[m] = y[m] << np.uint64(s)
+    return clz
+
+
 def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
     """Register array (2^p uint8) from 64-bit hashes: index = top p bits,
     rho = leading-zero count of the remaining 64-p bits + 1."""
@@ -47,9 +60,7 @@ def _hll_registers(h: np.ndarray, p: int) -> np.ndarray:
         return reg
     idx = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
-    # leading zeros of a 64-bit value, vectorized: 64 - bit_length
-    bl = np.frompyfunc(int.bit_length, 1, 1)(rest.astype(object))
-    rho = (64 - bl.astype(np.int64)) + 1
+    rho = _clz64(rest) + 1
     np.maximum.at(reg, idx, rho.astype(np.uint8))
     return reg
 
