@@ -203,8 +203,14 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
             })
 
         partials = bucketed_group_apply(
-            _tag(edges, 0, {"id": "src", "dst": "dst", "w": "w"}).union(
-                _tag(state, 1, {"id": "id", "deg": "deg", "rank": "rank"})),
+            # both sides emit the SAME column set (absent sources null-fill
+            # via the "__none" miss) — no reliance on union schema
+            # unification across Ray versions
+            _tag(edges, 0, {"id": "src", "dst": "dst", "w": "w",
+                            "deg": "__none", "rank": "__none"}).union(
+                _tag(state, 1, {"id": "id", "dst": "__none",
+                                "w": "__none", "deg": "deg",
+                                "rank": "rank"})),
             ["id"], contrib_bucket, num_buckets=num_buckets)
 
         # new state: node table ⋈ contrib partials on id (one exchange)
