@@ -705,6 +705,118 @@ def _q_cms_counts_events(sf_dir: str):
                       ["click", "view", "purchase", "signup", "error"])
 
 
+def _q_training_set_docs(sf_dir: str):
+    # THE composition: lang/length gate -> exact dedup -> benchmark
+    # decontamination -> stratified source mixing -> sequence packing,
+    # hash-checked end-to-end against one DuckDB query
+    import pyarrow.parquet as pq
+
+    from fashion_knowledge_graph_ray.pipelines.prepare_training import (
+        prepare_training_set,
+    )
+    from fashion_knowledge_graph_ray.stages.decontam import (
+        benchmark_gram_set,
+    )
+
+    bench_tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                              columns=["doc_id", "text"])
+    bench_texts = [t for i, t in zip(bench_tbl["doc_id"].to_pylist(),
+                                     bench_tbl["text"].to_pylist())
+                   if i % 20 == 0]
+    grams = benchmark_gram_set(bench_texts, 5)
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"],
+                 blocks=64)
+    return prepare_training_set(docs, grams, _STRATA_RATES,
+                                default_rate=_STRATA_DEFAULT,
+                                num_buckets=16)
+
+
+def _training_set_sql() -> str:
+    """One composed DuckDB mirror of ``prepare_training_set`` — each CTE
+    is the already-hash-verified expression of its stage's standalone
+    oracle (langid, exact dedup, decontam, stratified sample, pack)."""
+    strata_whens = " ".join(
+        f"WHEN '{k}' THEN "
+        f"'{format(min(int(r * (1 << 32)), (1 << 32) - 1), '08x')}'"
+        for k, r in _STRATA_RATES.items())
+    strata_default = format(
+        min(int(_STRATA_DEFAULT * (1 << 32)), (1 << 32) - 1), "08x")
+    markers = {
+        "de": "['der', 'die', 'und', 'das', 'ein', 'nicht']",
+        "en": "['the', 'and', 'of', 'is', 'to', 'a']",
+        "es": "['el', 'la', 'los', 'que', 'y', 'de']",
+        "fr": "['le', 'les', 'des', 'et', 'une', 'est']",
+    }
+    marker_cols = ", ".join(
+        f"len(list_filter(ltoks, x -> list_contains({lst}, x))) AS {lg}"
+        for lg, lst in markers.items())
+    return rf"""
+WITH lt AS (
+  SELECT doc_id, text, source,
+         CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(text), '\s+') END
+           AS rawtoks,
+         list_transform(CASE WHEN trim(text) = '' THEN []
+                        ELSE regexp_split_to_array(trim(text), '\s+')
+                        END, x -> lower(x)) AS ltoks
+  FROM documents
+),
+lgc AS (SELECT *, {marker_cols} FROM lt),
+gated AS (
+  SELECT doc_id, text, source, len(rawtoks) AS n_tokens, ltoks
+  FROM lgc
+  WHERE len(rawtoks) BETWEEN 25 AND 90
+    AND greatest(de, en, es, fr) > 0
+    AND NOT (de >= en AND de >= es AND de >= fr)
+    AND en >= es AND en >= fr
+),
+win AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+ded AS (SELECT g.* FROM gated g
+        WHERE g.doc_id IN (SELECT doc_id FROM win)),
+g5 AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(ltoks) - 4),
+           i -> array_to_string(ltoks[i:i+4], ' ')))) AS gram
+  FROM ded WHERE len(ltoks) >= 5
+),
+bgr AS (
+  SELECT DISTINCT unnest(list_distinct(list_transform(
+           generate_series(1, len(w) - 4),
+           i -> array_to_string(w[i:i+4], ' ')))) AS gram
+  FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents WHERE doc_id % 20 = 0)
+  WHERE len(w) >= 5
+),
+tot AS (SELECT doc_id, count(*) AS ngrams_total FROM g5 GROUP BY 1),
+hit AS (SELECT g5.doc_id, count(*) AS ngrams_hit
+        FROM g5 JOIN bgr USING (gram) GROUP BY 1),
+clean AS (
+  SELECT d.doc_id, d.source, d.n_tokens
+  FROM ded d
+  LEFT JOIN tot ON d.doc_id = tot.doc_id
+  LEFT JOIN hit ON d.doc_id = hit.doc_id
+  WHERE NOT (coalesce(tot.ngrams_total, 0) > 0 AND
+             coalesce(hit.ngrams_hit, 0) * 100 >=
+             coalesce(tot.ngrams_total, 0) * 10)
+),
+mixed AS (
+  SELECT doc_id, n_tokens FROM clean
+  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        (CASE source {strata_whens} ELSE '{strata_default}' END)
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM mixed
+)
+SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS bin_id
+FROM packed"""
+
+
 _BM25_TERMS = ["spark", "vector", "window"]
 
 
@@ -1429,6 +1541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_events": _q_hll_distinct_events,
         "bigram_counts_docs": _q_bigram_counts_docs,
         "bm25_topk_docs": _q_bm25_topk_docs,
+        "training_set_docs": _q_training_set_docs,
         "json_flatten_events": _q_json_flatten_events,
         "cms_counts_events": _q_cms_counts_events,
         "knn_graph_emb": _q_knn_graph_emb,
@@ -2974,6 +3087,7 @@ SELECT gram, count(*) AS n FROM g GROUP BY gram""",
 SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
 FROM events""",
         "bm25_topk_docs": _bm25_sql(),
+        "training_set_docs": _training_set_sql(),
         "cms_counts_events": _cms_values_sql(),
         "semantic_dedup_emb": _semantic_dedup_values_sql(),
         # exact self-kNN: rank by cosine DESC, dst ASC (score itself is

@@ -38,6 +38,7 @@ QUERY_NAMES = [
     "chunk_dedup_docs", "incremental_dedup_docs", "knn_graph_emb",
     "semantic_dedup_emb", "pagerank_lineitem", "hll_distinct_events",
     "kg_pagerank", "bm25_topk_docs", "triangles_parts", "bigram_counts_docs",
+    "training_set_docs",
 ]
 
 

@@ -46,7 +46,8 @@ def benchmark_gram_set(texts, n: int) -> frozenset:
 
 def decontaminate(docs_ds, benchmark_grams: frozenset, *,
                   text_col: str = "text", id_col: str = "doc_id",
-                  n: int = 5, threshold_pct: int = 10):
+                  n: int = 5, threshold_pct: int = 10,
+                  passthrough: bool = False):
     """Per-document benchmark-overlap stats.
 
     Output rows: ``(id_col, ngrams_total, ngrams_hit, contaminated)``
@@ -54,6 +55,8 @@ def decontaminate(docs_ds, benchmark_grams: frozenset, *,
     ``hit * 100 >= total * threshold_pct`` (integer arithmetic so the
     decision is bit-exactly portable across engines; a document with no
     n-grams — fewer than ``n`` words — is never contaminated).
+    ``passthrough=True`` appends the three stat columns to the input
+    rows instead (for in-pipeline filtering compositions).
     """
     import ray
 
@@ -71,12 +74,18 @@ def decontaminate(docs_ds, benchmark_grams: frozenset, *,
             hit.append(h)
             flag.append(len(grams) > 0
                         and h * 100 >= len(grams) * threshold_pct)
-        return pa.table({
-            id_col: pa.array(ids, type=t[id_col].type),
+        stats = {
             "ngrams_total": pa.array(tot, type=pa.int64()),
             "ngrams_hit": pa.array(hit, type=pa.int64()),
             "contaminated": pa.array(flag, type=pa.bool_()),
-        })
+        }
+        if passthrough:
+            out = t
+            for name, arr in stats.items():
+                out = out.append_column(name, arr)
+            return out
+        return pa.table({
+            id_col: pa.array(ids, type=t[id_col].type), **stats})
 
     return docs_ds.map_batches(score, batch_format="pyarrow",
                                zero_copy_batch=True)
