@@ -56,8 +56,11 @@ def prepare_training_set(docs_ds, benchmark_grams: frozenset,
                         and predict_lang(txt) == lang)
         return t.filter(pa.array(mask, type=pa.bool_()))
 
+    # materialized: both the dedup winner pass and the join's left side
+    # consume gated, and un-materialized lineage re-executes per consumer
+    # (the per-row langid/token gate is the hot loop — run it once)
     gated = docs_ds.map_batches(gate, batch_format="pyarrow",
-                                zero_copy_batch=True)
+                                zero_copy_batch=True).materialize()
 
     # exact dedup: winners = min id per distinct text; join back on id
     # (shuffle join — both sides are corpus-sized)

@@ -29,6 +29,37 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def _bottomk_sample(ds, k: int, emb_col: str, id_col: str) -> np.ndarray:
+    """Deterministic seeded-trainer sample: the ``k`` SMALLEST-id rows
+    of the dataset, id-sorted, L2-normalized.
+
+    ``ds.limit(k)`` fixes neither membership nor order when the input is
+    a union / multi-branch pipeline (block arrival order is not
+    deterministic), and the seeded k-means result depends on BOTH — so
+    every trained-centroid operator samples via this global bottom-k:
+    one narrow pass emits each block's k smallest rows (partial combine)
+    and the driver folds the tiny partials. Matches the sequential
+    oracle's "first k rows by id" exactly at any partitioning."""
+    import pyarrow.compute as pc
+
+    def local_bottomk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        return t.take(idx[:k])
+
+    best: list = []
+    for b in ds.select_columns([id_col, emb_col]).map_batches(
+            local_bottomk, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        best.extend(zip(b[id_col].to_pylist(), b[emb_col].to_pylist()))
+        if len(best) > 4 * k:
+            best.sort(key=lambda r: r[0])
+            del best[k:]
+    best.sort(key=lambda r: r[0])
+    del best[k:]
+    return _normalize(np.stack([np.asarray(v, dtype=np.float64)
+                                for _, v in best]))
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int, *,
                      emb_col: str = "embedding", id_col: str = "vec_id",
                      query_ids: list | None = None, num_buckets: int = 16):
@@ -122,9 +153,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int, *,
 
     qm = _normalize(np.asarray(queries, dtype=np.float64))
     qids = list(query_ids) if query_ids is not None else list(range(len(qm)))
-    sample_rows = ds.limit(train_sample).take_all()
-    sample = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64)
-                                  for r in sample_rows]))
+    sample = _bottomk_sample(ds, train_sample, emb_col, id_col)
     cent = _spherical_kmeans(sample, ncentroids, seed=seed)
     q_probe = np.argsort(-(qm @ cent.T), axis=1)[:, :min(nprobe, len(cent))]
     probe_sets = [set(row.tolist()) for row in q_probe]
@@ -297,6 +326,10 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
     """
     import ray
 
+    # one execution of the upstream pipeline for the three consumers
+    # (count, broadcast pull / training sample, scoring pass) — same
+    # routing-shape fix as embedding_neardup_pairs
+    ds = ds.materialize()
     n = ds.count()
     if n <= max_broadcast:
         ids_all, vecs = [], []
@@ -374,10 +407,9 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
 
     # IVF regime: replicate each vector to its own cell (member) and its
     # nprobe nearest cells (query); per-cell local kNN, bucketed merge.
-    sample_rows = ds.limit(train_sample).take_all()
-    sample = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64)
-                                  for r in sample_rows]))
-    cent = _spherical_kmeans(sample, ncentroids, seed=seed)
+    cent = _spherical_kmeans(
+        _bottomk_sample(ds, train_sample, emb_col, id_col),
+        ncentroids, seed=seed)
     cent_ref = ray.put(cent) if ray.is_initialized() else cent
 
     def replicate(batch: pa.Table) -> pa.Table:
@@ -471,15 +503,9 @@ def semantic_dedup(ds, threshold: float, ncentroids: int, *,
     cross-cluster near-dups are the documented recall trade)."""
     import ray
 
-    # sample sorted by id: block arrival order of a union/multi-branch
-    # input is not deterministic, and the seeded trainer's result depends
-    # on sample ORDER — pinning the order makes centroids (and therefore
-    # every downstream kept/dropped decision) partitioning-independent
-    sample_rows = sorted(ds.limit(train_sample).take_all(),
-                         key=lambda r: r[id_col])
-    sample = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64)
-                                  for r in sample_rows]))
-    cent = _spherical_kmeans(sample, ncentroids, seed=seed)
+    cent = _spherical_kmeans(
+        _bottomk_sample(ds, train_sample, emb_col, id_col),
+        ncentroids, seed=seed)
     ref = ray.put(cent) if ray.is_initialized() else cent
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -542,10 +568,9 @@ def kmeans_assign(ds, ncentroids: int, *, emb_col: str = "embedding",
     """
     import ray
 
-    sample_rows = ds.limit(train_sample).take_all()
-    sample = _normalize(np.stack([np.asarray(r[emb_col], dtype=np.float64)
-                                  for r in sample_rows]))
-    cent = _spherical_kmeans(sample, ncentroids, seed=seed)
+    cent = _spherical_kmeans(
+        _bottomk_sample(ds, train_sample, emb_col, id_col),
+        ncentroids, seed=seed)
     ref = ray.put(cent) if ray.is_initialized() else cent
 
     def assign(batch: pa.Table) -> pa.Table:

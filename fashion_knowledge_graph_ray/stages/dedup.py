@@ -232,10 +232,8 @@ def incremental_dedup(new_ds, ref_ds, *, text_col: str = "text",
                                zero_copy_batch=True)
     maybe = tagged.map_batches(take_maybe, batch_format="pyarrow",
                                zero_copy_batch=True)
-    ref_hashes = ref_ds.select_columns([text_col]).map_batches(
-        lambda t: pa.table({"__h64": pa.array(to_hash64(t, text_col),
-                                              type=pa.uint64())}),
-        batch_format="pyarrow", zero_copy_batch=True)
+    # the MATERIALIZED hash table from the bloom build is the anti-join
+    # right side — the reference corpus is scanned/hashed exactly once
     survivors = anti_join_shuffle(maybe, "__h64", ref_hashes, "__h64",
                                   num_buckets=num_buckets) \
         .drop_columns(["__h64"])

@@ -292,8 +292,11 @@ def _pagerank_broadcast(edges, nodes, degs, n, d, iters, scale,
             sd, sr = degs_s[si], rk[si]
             valid = sd > 0
             w_max = int(w.max()) if len(w) else 0
+            c = np.zeros(len(sd), dtype=np.int64)
             if w_max and int(sr.max()) * d * w_max < (1 << 62):
-                c = (sr * d * w) // (100 * sd)
+                # mask BEFORE the divide: zero out-mass sources would
+                # floor-divide by zero
+                c[valid] = (sr[valid] * d * w[valid]) // (100 * sd[valid])
             else:  # exact big-int fallback (identical floor expression)
                 c = np.array([(int(r) * d * int(ww)) // (100 * int(dd))
                               if dd else 0

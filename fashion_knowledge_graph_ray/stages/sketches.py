@@ -90,45 +90,47 @@ def hll_distinct(ds, key_cols: list[str], value_col: str, *,
     (±1.04/sqrt(2^p)) is part of the operator's contract, not noise:
     results are deterministic and partitioning-independent."""
 
-    def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
+    # null group keys are kept (they are a real group, matching SQL
+    # GROUP BY): grouping uses Python dicts keyed on to_pylist() values
+    # (None stays None), and the exchange buckets on a null-safe derived
+    # string key so the crc32 fallback never sees a null
+    def _kstr(key: tuple) -> str:
+        return "\x1f".join("\x00" if kv is None else str(kv)
+                           for kv in key)
 
-        df = pd.DataFrame({c: t[c].to_pandas() for c in key_cols})
-        df["__v"] = t[value_col].to_pylist()
-        keys_out: dict[str, list] = {c: [] for c in key_cols}
-        blobs = []
-        for key, g in df.groupby(key_cols, sort=True):
-            key = key if isinstance(key, tuple) else (key,)
-            for c, kv in zip(key_cols, key):
-                keys_out[c].append(kv)
-            blobs.append(
-                _hll_registers(_hash64(g["__v"].tolist()), p).tobytes())
-        cols = {c: pa.array(keys_out[c], type=t[c].type) for c in key_cols}
-        cols["reg"] = pa.array(blobs, type=pa.binary())
+    def partial(t: pa.Table) -> pa.Table:
+        groups: dict[tuple, list] = {}
+        key_rows = list(zip(*(t[c].to_pylist() for c in key_cols)))
+        for key, v in zip(key_rows, t[value_col].to_pylist()):
+            groups.setdefault(key, []).append(v)
+        keys_sorted = sorted(groups, key=_kstr)
+        cols = {c: pa.array([k[i] for k in keys_sorted], type=t[c].type)
+                for i, c in enumerate(key_cols)}
+        cols["__k"] = pa.array([_kstr(k) for k in keys_sorted],
+                               type=pa.string())
+        cols["reg"] = pa.array(
+            [_hll_registers(_hash64(groups[k]), p).tobytes()
+             for k in keys_sorted], type=pa.binary())
         return pa.table(cols)
 
     def merge(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({c: t[c].to_pandas() for c in key_cols})
-        df["__r"] = t["reg"].to_pylist()
-        keys_out: dict[str, list] = {c: [] for c in key_cols}
-        counts = []
-        for key, g in df.groupby(key_cols, sort=True):
-            key = key if isinstance(key, tuple) else (key,)
-            reg = np.zeros(1 << p, dtype=np.uint8)
-            for raw in g["__r"]:
-                reg = np.maximum(reg, np.frombuffer(raw, dtype=np.uint8))
-            for c, kv in zip(key_cols, key):
-                keys_out[c].append(kv)
-            counts.append(_hll_estimate(reg))
-        cols = {c: pa.array(keys_out[c], type=t[c].type) for c in key_cols}
-        cols["approx_distinct"] = pa.array(counts, type=pa.int64())
+        regs: dict[tuple, np.ndarray] = {}
+        key_rows = list(zip(*(t[c].to_pylist() for c in key_cols)))
+        for key, raw in zip(key_rows, t["reg"].to_pylist()):
+            reg = regs.setdefault(key, np.zeros(1 << p, dtype=np.uint8))
+            np.maximum(reg, np.frombuffer(raw, dtype=np.uint8), out=reg)
+        keys_sorted = sorted(regs, key=_kstr)
+        cols = {c: pa.array([k[i] for k in keys_sorted],
+                            type=t[c].type)
+                for i, c in enumerate(key_cols)}
+        cols["approx_distinct"] = pa.array(
+            [_hll_estimate(regs[k]) for k in keys_sorted],
+            type=pa.int64())
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
-    return bucketed_group_apply(partials, key_cols, merge,
+    return bucketed_group_apply(partials, ["__k"], merge,
                                 num_buckets=num_buckets)
 
 

@@ -139,3 +139,33 @@ def test_triangle_counts_string_ids(ray_session):
                           num_buckets=2).to_pandas()
     assert dict(zip(out["id"], out["triangles"])) == \
         {"a": 1, "b": 1, "c": 1}
+
+
+def test_pagerank_zero_weight_source_no_divide(ray_session):
+    # a src whose weights sum to 0 must contribute nothing (and must not
+    # floor-divide by zero in the vectorized broadcast kernel)
+    import warnings
+
+    tbl = pa.table({
+        "src": pa.array([1, 1, 2], type=pa.int64()),
+        "dst": pa.array([2, 3, 3], type=pa.int64()),
+        "weight": pa.array([0, 0, 5], type=pa.int64()),
+    })
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # RuntimeWarning -> failure
+        out = pagerank(rd.from_arrow(tbl), weight_col="weight", iters=4,
+                       num_buckets=2).to_pandas()
+    ranks = dict(zip(out["id"], out["rank"]))
+    # node 1 has zero out-mass -> dangling; sequential reference
+    edges = [(2, 3, 5)]
+    ids = [1, 2, 3]
+    W = {2: 5}
+    rank = {i: SCALE // 3 for i in ids}
+    for _ in range(4):
+        dangling = sum(rank[i] for i in ids if W.get(i, 0) == 0)
+        base = (SCALE * 15) // 300 + (dangling * 85) // 300
+        acc = {i: 0 for i in ids}
+        for u, v, w in edges:
+            acc[v] += (rank[u] * 85 * w) // (100 * W[u])
+        rank = {i: base + acc[i] for i in ids}
+    assert ranks == rank

@@ -87,6 +87,7 @@ def test_prepare_training_matches_sequential(ray_session):
         got = {r.doc_id: (r.n_tokens, r.start_offset, r.bin_id)
                for r in out.itertuples()}
         assert got == exp
-    # the planted duplicate lost to its lower-id twin
-    assert 7 not in exp or 3 not in exp or True
-    assert 3 in exp or 7 not in exp
+    # the planted duplicate pair (3, 7) share one text: at most one
+    # survives, and if any did it must be the lower id
+    assert not (3 in exp and 7 in exp)
+    assert 7 not in exp

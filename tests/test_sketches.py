@@ -62,3 +62,15 @@ def test_cms_overestimates_and_is_partition_invariant(ray_session):
         assert got[k] >= exact[k]                 # never under
         assert got[k] <= exact[k] + 2 * len(df) // 2048 + 1
     assert got["zzz"] <= 2 * len(df) // 2048 + 1  # absent key ~ 0
+
+
+def test_hll_keeps_null_group_keys(ray_session):
+    tbl = pa.table({
+        "k": pa.array(["a", None, "a", None, None], type=pa.string()),
+        "v": pa.array([1, 2, 3, 4, 9], type=pa.int64()),
+    })
+    out = hll_distinct(rd.from_arrow(tbl).repartition(3), ["k"], "v",
+                       num_buckets=2).to_pandas()
+    got = {(None if isinstance(k, float) or k is None else k): n
+           for k, n in zip(out["k"], out["approx_distinct"])}
+    assert got == {"a": 2, None: 3}  # null-key values {2,4,9}
