@@ -117,12 +117,27 @@ def _cmd_query(args) -> int:
                                top_k=args.top_k)
         print(json.dumps(out.to_pylist(), default=str))
     elif args.what == "look":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         from .pipelines.query import complete_the_look
 
         nodes = rd.read_parquet(os.path.join(args.kg, "nodes"))
+        # type lookup only for the queried entity + its 1-hop neighbors
+        # (bounded by one node's degree) — never the whole node table on
+        # the driver
+        ent = args.entity
+        nbrs = edges.map_batches(
+            lambda t: t.filter(pc.equal(t["src"], ent)).select(["dst"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        cand = pa.array(sorted({ent} | {r["dst"] for r in nbrs.take_all()}),
+                        type=pa.string())
+        sel = nodes.map_batches(
+            lambda t: t.filter(pc.is_in(t["entity_id"], value_set=cand))
+            .select(["entity_id", "attrs"]),
+            batch_format="pyarrow", zero_copy_batch=True)
         type_of = {r["entity_id"]: (r["attrs"] or {}).get("type")
-                   for r in nodes.select_columns(
-                       ["entity_id", "attrs"]).take_all()}
+                   for r in sel.take_all()}
         out = complete_the_look(edges, args.entity,
                                 type_of.get(args.entity), type_of,
                                 top_k=args.top_k)

@@ -486,6 +486,12 @@ def bm25_topk(docs_ds, query_tokens: list[str], k: int, *,
     if not terms or k <= 0:
         raise ValueError("need at least one query token and k > 0")
 
+    # BOTH passes (df/avgdl stats, then scoring) consume docs_ds; without
+    # a materialize a derived upstream pipeline would re-execute per
+    # consumer (the multi-consumer rule of prepare_training_set /
+    # knn_graph). Pin only the narrow (id, text) projection.
+    docs_ds = docs_ds.select_columns([id_col, text_col]).materialize()
+
     def stats_partial(t: pa.Table) -> pa.Table:
         dfs = {w: 0 for w in terms}
         dl_sum = 0
@@ -603,7 +609,14 @@ def inverted_index(docs_ds, *, text_col: str = "text",
             per_tok[tok] = (n + df, runs + [run])
         for tok in sorted(per_tok):
             n, runs = per_tok[tok]
-            ids = sorted(int(x) for r in runs for x in r.split(","))
+            flat = [x for r in runs for x in r.split(",")]
+            # id_col may be any stringable type (triangle_counts-style
+            # string ids included): sort numerically when every id parses
+            # as an int, lexically otherwise — deterministic either way
+            try:
+                ids: list = sorted(int(x) for x in flat)
+            except ValueError:
+                ids = sorted(flat)
             toks.append(tok)
             dfs.append(n)
             posts.append(",".join(map(str, ids[:postings_cap])))

@@ -162,6 +162,11 @@ def incremental_dedup(new_ds, ref_ds, *, text_col: str = "text",
 
     from .relational import anti_join_shuffle
 
+    # bitmap words are uint64; a bloom_bits that is not a multiple of 64
+    # would make slot indices (mod bloom_bits) point past the truncated
+    # word array — round UP so every slot has a word
+    bloom_bits = ((bloom_bits + 63) // 64) * 64
+
     def to_hash64(t: pa.Table, col: str) -> np.ndarray:
         return np.array(
             [int(fingerprint_md5(x)[:16], 16) for x in t[col].to_pylist()],

@@ -32,10 +32,16 @@ from .bucketed import bucketed_group_apply
 
 
 def _hash64(values: list) -> np.ndarray:
+    """64-bit hashes of the non-null values. Nulls are SKIPPED (matching
+    SQL ``COUNT(DISTINCT)``, which ignores NULLs) and the hash input is
+    prefixed with the Python type name so cross-type collisions (int 1
+    vs string '1', None vs the literal 'None') cannot occur."""
     return np.array(
-        [int.from_bytes(hashlib.blake2b(str(v).encode("utf-8"),
-                                        digest_size=8).digest(), "big")
-         for v in values], dtype=np.uint64)
+        [int.from_bytes(
+            hashlib.blake2b(
+                f"{type(v).__name__}\x1f{v}".encode("utf-8"),
+                digest_size=8).digest(), "big")
+         for v in values if v is not None], dtype=np.uint64)
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
