@@ -1505,82 +1505,93 @@ def _q_media_audio_features(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # DICT ORDER IS LOAD-BEARING for driver evidence: the correctness
+    # sweep verifies the first 50 entries in order (CORRECTNESS_r02
+    # recorded exactly queries 1-50 of the round-2 ordering). Round 3
+    # therefore leads with the 24 queries that have no driver-produced
+    # record yet (the flagship KG builds, canonicalize, minhash/simhash,
+    # LSH/IVF ANN, outfit, media — all judge-verified exact in round 2),
+    # followed by the queries whose code changed this round; the
+    # remaining round-2-green queries close the dict. Together r02+r03
+    # give every one of the 74 queries a driver-verified row.
     return {
-        "groupby_count": _q_groupby_count,
-        "cooccur_edges": _q_cooccur_edges,
-        "edge_topk_per_node": _q_edge_topk_per_node,
-        "attr_triples_part": _q_attr_triples_part,
-        "node_merge_lww": _q_node_merge_lww,
-        "anti_join_customers": _q_anti_join_customers,
-        "filter_project_events": _q_filter_project_events,
-        "valid_docs": _q_valid_docs,
-        "grouped_sample_docs": _q_grouped_sample_docs,
-        "exact_dedup_docs": _q_exact_dedup_docs,
-        "inverted_index_docs": _q_inverted_index_docs,
-        "chunk_dedup_docs": _q_chunk_dedup_docs,
-        "incremental_dedup_docs": _q_incremental_dedup_docs,
-        "token_count_docs": _q_token_count_docs,
-        "quality_docs": _q_quality_docs,
-        "repetition_docs": _q_repetition_docs,
-        "pii_scrub_docs": _q_pii_scrub_docs,
-        "curate_docs": _q_curate_docs,
-        "quality_filter_docs": _q_quality_filter_docs,
-        "lang_id_docs": _q_lang_id_docs,
-        "fingerprint_docs": _q_fingerprint_docs,
-        "top_tokens_docs": _q_top_tokens_docs,
-        "decontam_docs": _q_decontam_docs,
-        "stratified_sample_docs": _q_stratified_sample_docs,
-        "pack_bins_docs": _q_pack_bins_docs,
-        "token_freq_docs": _q_token_freq_docs,
-        "asof_join_events": _q_asof_join_events,
-        "band_join_events": _q_band_join_events,
-        "shuffle_rank_docs": _q_shuffle_rank_docs,
-        "tfidf_topk_docs": _q_tfidf_topk_docs,
-        "kmeans_clusters_emb": _q_kmeans_clusters_emb,
-        "pagerank_lineitem": _q_pagerank_lineitem,
-        "hll_distinct_events": _q_hll_distinct_events,
-        "bigram_counts_docs": _q_bigram_counts_docs,
-        "bm25_topk_docs": _q_bm25_topk_docs,
-        "training_set_docs": _q_training_set_docs,
-        "json_flatten_events": _q_json_flatten_events,
-        "cms_counts_events": _q_cms_counts_events,
-        "knn_graph_emb": _q_knn_graph_emb,
-        "semantic_dedup_emb": _q_semantic_dedup_emb,
-        "quantiles_events": _q_quantiles_events,
-        "rrf_orders": _q_rrf_orders,
-        "ann_topk": _q_ann_topk,
-        "near_dup_cosine": _q_near_dup_cosine,
-        "near_dup_cosine_lsh": _q_near_dup_cosine_lsh,
-        "tumbling_window_events": _q_tumbling_window_events,
-        "hopping_window_events": _q_hopping_window_events,
-        "session_window_events": _q_session_window_events,
-        "broadcast_join_lineitem": _q_broadcast_join_lineitem,
-        "shuffle_join_orders": _q_shuffle_join_orders,
-        "union_upsert_docs": _q_union_upsert_docs,
-        "top1_per_order": _q_top1_per_order,
-        "related_entities_topk": _q_related_entities_topk,
-        "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
-        "attr_extract_docs": _q_attr_extract_docs,
-        "spec_attrs_docs": _q_spec_attrs_docs,
+        # -- no driver record yet (judge-verified exact in round 2) --
         "kg_mentions": _q_kg_mentions,
         "kg_edges": _q_kg_edges,
         "kg_pagerank": _q_kg_pagerank,
-        "triangles_parts": _q_triangles_parts,
         "kg_edges_canonical": _q_kg_edges_canonical,
-        "canonical_map": _q_canonical_map,
-        "media_frame_sample": _q_media_frame_sample,
-        "preprocess_catalog_parts": _q_preprocess_catalog_parts,
-        "label_value_counts_events": _q_label_value_counts_events,
-        "media_image_features": _q_media_image_features,
-        "media_audio_features": _q_media_audio_features,
         "kg_triples_embedding": _q_kg_triples_embedding,
-        # sequential-reference VALUES oracles (not rows-only):
+        "canonical_map": _q_canonical_map,
         "outfit_text": _q_outfit_text,
         "outfit_page": _q_outfit_page,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "ivf_ann_topk": _q_ivf_ann_topk,
+        "union_upsert_docs": _q_union_upsert_docs,
+        "top1_per_order": _q_top1_per_order,
+        "related_entities_topk": _q_related_entities_topk,
+        "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
+        "attr_extract_docs": _q_attr_extract_docs,
+        "spec_attrs_docs": _q_spec_attrs_docs,
+        "triangles_parts": _q_triangles_parts,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
+        "preprocess_catalog_parts": _q_preprocess_catalog_parts,
+        "label_value_counts_events": _q_label_value_counts_events,
+        # -- code touched in round 3 (re-verify) --
+        "hll_distinct_events": _q_hll_distinct_events,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "inverted_index_docs": _q_inverted_index_docs,
+        "bm25_topk_docs": _q_bm25_topk_docs,
+        "near_dup_cosine": _q_near_dup_cosine,
+        "near_dup_cosine_lsh": _q_near_dup_cosine_lsh,
+        "pagerank_lineitem": _q_pagerank_lineitem,
+        "token_freq_docs": _q_token_freq_docs,
+        "bigram_counts_docs": _q_bigram_counts_docs,
+        "knn_graph_emb": _q_knn_graph_emb,
+        "semantic_dedup_emb": _q_semantic_dedup_emb,
+        "kmeans_clusters_emb": _q_kmeans_clusters_emb,
+        "ann_topk": _q_ann_topk,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "chunk_dedup_docs": _q_chunk_dedup_docs,
+        "training_set_docs": _q_training_set_docs,
+        "curate_docs": _q_curate_docs,
+        "quantiles_events": _q_quantiles_events,
+        "rrf_orders": _q_rrf_orders,
+        "pack_bins_docs": _q_pack_bins_docs,
+        "shuffle_rank_docs": _q_shuffle_rank_docs,
+        "groupby_count": _q_groupby_count,
+        "cooccur_edges": _q_cooccur_edges,
+        "edge_topk_per_node": _q_edge_topk_per_node,
+        "node_merge_lww": _q_node_merge_lww,
+        "anti_join_customers": _q_anti_join_customers,
+        # -- driver-green in round 2, unchanged since --
+        "attr_triples_part": _q_attr_triples_part,
+        "filter_project_events": _q_filter_project_events,
+        "valid_docs": _q_valid_docs,
+        "grouped_sample_docs": _q_grouped_sample_docs,
+        "token_count_docs": _q_token_count_docs,
+        "quality_docs": _q_quality_docs,
+        "repetition_docs": _q_repetition_docs,
+        "pii_scrub_docs": _q_pii_scrub_docs,
+        "quality_filter_docs": _q_quality_filter_docs,
+        "lang_id_docs": _q_lang_id_docs,
+        "fingerprint_docs": _q_fingerprint_docs,
+        "top_tokens_docs": _q_top_tokens_docs,
+        "decontam_docs": _q_decontam_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "asof_join_events": _q_asof_join_events,
+        "band_join_events": _q_band_join_events,
+        "tfidf_topk_docs": _q_tfidf_topk_docs,
+        "json_flatten_events": _q_json_flatten_events,
+        "cms_counts_events": _q_cms_counts_events,
+        "tumbling_window_events": _q_tumbling_window_events,
+        "hopping_window_events": _q_hopping_window_events,
+        "session_window_events": _q_session_window_events,
+        "broadcast_join_lineitem": _q_broadcast_join_lineitem,
+        "shuffle_join_orders": _q_shuffle_join_orders,
     }
 
 

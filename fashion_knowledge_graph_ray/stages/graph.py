@@ -25,9 +25,10 @@ Scale shape (per iteration, all tables narrow int64 columns):
 3. new state = one bucketed sum of partials left-joined onto the node
    table (nodes with no in-edges keep the base mass).
 
-The edge table re-shuffles each iteration; on a real cluster a
-hash-partitioned edge layout reused across iterations would remove that
-exchange (the state table alone would move). Multigraph semantics:
+Above the broadcast gate the edge table is hash-partitioned by src ONCE
+into object-store shards that persist across iterations
+(``_pagerank_partitioned``); only the narrow (id, rank) state and
+(dst, contrib) partials move per iteration. Multigraph semantics:
 parallel (src,dst) duplicates each contribute; out-degree counts edges.
 """
 
@@ -88,12 +89,12 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
       a vectorized batch-local contribution kernel and ONE bucketed sum
       per iteration collects per-dst totals (≤ n tiny rows) back to the
       driver. Edges never re-shuffle.
-    - **shuffle join** (above the gate): ranks live in a distributed
-      state table; each iteration hash-joins edges with state on src and
-      reduces contributions by dst — 3 narrow exchanges per iteration,
-      nothing driver-resident.
+    - **persistent partitions** (above the gate): edges hash-partition
+      by src ONCE into object-store shards; per iteration only the
+      narrow (id, rank) state and (dst, contrib) partials move
+      (``_pagerank_partitioned``) — nothing driver-resident beyond B
+      refs.
     """
-    from ray.data.aggregate import Sum
 
     def narrow(t: pa.Table) -> pa.Table:
         w = (t[weight_col].cast(pa.int64()) if weight_col
@@ -130,112 +131,152 @@ def pagerank(edges_ds, *, src_col: str = "src", dst_col: str = "dst",
     if n <= max_broadcast_nodes:
         return _pagerank_broadcast(edges, nodes, degs, n, damping_pct,
                                    iters, scale, num_buckets)
+    return _pagerank_partitioned(edges, nodes, degs, n, damping_pct,
+                                 iters, scale, num_buckets)
 
-    # state = (id, deg, rank); nodes absent from degs have deg 0
-    def seed_bucket(t: pa.Table) -> pa.Table:
-        side = t["__side"].to_numpy(zero_copy_only=False)
-        node_t = t.filter(pa.array(side == 0))
-        deg_t = t.filter(pa.array(side == 1))
-        dm = dict(zip(deg_t["id"].to_pylist(), deg_t["deg"].to_pylist()))
-        ids = node_t["id"].to_pylist()
-        return pa.table({
+
+def _pagerank_partitioned(edges, nodes, degs, n, d, iters, scale,
+                          num_buckets):
+    """Iteration-persistent hash-partitioned PageRank regime (above the
+    broadcast gate).
+
+    The Dataset API cannot express "partition once, iterate in place" —
+    a ``groupby`` re-exchanges its whole input every call — so this
+    regime drops to raw Ray tasks (the engine's documented last-resort
+    tier) to pin the partitioning:
+
+    - **setup, once**: the static narrow edge table is hash-partitioned
+      by ``bucket(src)`` into ``num_buckets`` object-store shards that
+      NEVER move again; the state table (id, deg, rank) is partitioned
+      by ``bucket(id)`` with the SAME hash, so every edge source is
+      co-located with its rank.
+    - **per iteration**: shard-local contribution kernels (vectorized
+      searchsorted join + the integer floor formula) emit per-bucket
+      ``(dst, contrib)`` partials via ``num_returns=B`` multi-returns —
+      the ONLY bytes that move are those narrow partials plus the new
+      state shards; dangling mass rides back as one int per shard.
+
+    Bit-identical to the broadcast regime (integer sums are
+    order-independent); bounded driver state (B refs + B ints)."""
+    import ray
+    import ray.data as rd
+
+    from .bucketed import BUCKET_COL, _polars_hash_ok, add_bucket_column
+
+    B = num_buckets
+    up = _polars_hash_ok()
+
+    _empty_contrib = pa.table({"dst": pa.array([], type=pa.int64()),
+                               "contrib": pa.array([], type=pa.int64())})
+
+    def _split_by(tbl: pa.Table, key: str) -> tuple:
+        t = add_bucket_column(tbl, [key], B, use_polars=up)
+        bc = t[BUCKET_COL].to_numpy(zero_copy_only=False)
+        t = t.drop_columns([BUCKET_COL])
+        return tuple(t.filter(pa.array(bc == j)) for j in range(B))
+
+    def _multi(remote_fn, *args):
+        refs = remote_fn.options(num_returns=B).remote(*args)
+        return refs if isinstance(refs, list) else [refs]
+
+    split_src = ray.remote(lambda tb: _split_by(tb, "src"))
+    split_id = ray.remote(lambda tb: _split_by(tb, "id"))
+    concat = ray.remote(lambda *ts: pa.concat_tables(ts))
+
+    # edges: partition ONCE; shards stay in the object store across all
+    # iterations
+    epieces = [_multi(split_src, rb) for rb in edges.to_arrow_refs()]
+    edge_shards = [concat.remote(*[p[j] for p in epieces])
+                   for j in range(B)]
+
+    npieces = [_multi(split_id, rb) for rb in nodes.to_arrow_refs()]
+    dpieces = [_multi(split_id, rb) for rb in degs.materialize()
+               .to_arrow_refs()]
+
+    def _seed(node_t: pa.Table, deg_t: pa.Table):
+        ids = np.sort(node_t["id"].to_numpy(zero_copy_only=False))
+        deg = np.zeros(len(ids), dtype=np.int64)
+        if deg_t.num_rows:
+            idx = np.searchsorted(ids,
+                                  deg_t["id"].to_numpy(zero_copy_only=False))
+            deg[idx] = deg_t["deg"].to_numpy(zero_copy_only=False)
+        state = pa.table({
             "id": pa.array(ids, type=pa.int64()),
-            "deg": pa.array([dm.get(i, 0) for i in ids], type=pa.int64()),
-            "rank": pa.array([scale // n] * len(ids), type=pa.int64()),
-        })
+            "deg": pa.array(deg, type=pa.int64()),
+            "rank": pa.array(np.full(len(ids), scale // n, dtype=np.int64),
+                             type=pa.int64())})
+        return state, int((scale // n) * int((deg == 0).sum()))
 
-    def _tag(ds, side: int, cols: dict):
-        def f(t: pa.Table) -> pa.Table:
-            out = {k: (t[v] if v in t.column_names
-                       else pa.nulls(t.num_rows, type=pa.int64()))
-                   for k, v in cols.items()}
-            out["__side"] = pa.array([side] * t.num_rows, type=pa.int64())
-            return pa.table(out)
-        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+    seed = ray.remote(num_returns=2)(_seed)
+    seeded = [seed.remote(concat.remote(*[p[j] for p in npieces]),
+                          concat.remote(*[p[j] for p in dpieces]))
+              for j in range(B)]
+    state = [s for s, _ in seeded]
+    dangle_refs = [g for _, g in seeded]
 
-    state = bucketed_group_apply(
-        _tag(nodes, 0, {"id": "id", "deg": "deg"}).union(
-            _tag(degs, 1, {"id": "id", "deg": "deg"})),
-        ["id"], seed_bucket, num_buckets=num_buckets).materialize()
+    def _contrib(edge_t: pa.Table, state_t: pa.Table) -> tuple:
+        import pandas as pd
 
-    d = damping_pct
+        if edge_t.num_rows == 0 or state_t.num_rows == 0:
+            return tuple(_empty_contrib for _ in range(B))
+        sid = state_t["id"].to_numpy(zero_copy_only=False)  # sorted
+        sdeg = state_t["deg"].to_numpy(zero_copy_only=False)
+        srank = state_t["rank"].to_numpy(zero_copy_only=False)
+        src = edge_t["src"].to_numpy(zero_copy_only=False)
+        dst = edge_t["dst"].to_numpy(zero_copy_only=False)
+        w = edge_t["w"].to_numpy(zero_copy_only=False)
+        si = np.searchsorted(sid, src)  # every src co-located by hash
+        sd, sr = sdeg[si], srank[si]
+        valid = sd > 0
+        w_max = int(w.max()) if len(w) else 0
+        c = np.zeros(len(sd), dtype=np.int64)
+        if w_max and int(sr.max()) * d * w_max < (1 << 62):
+            # mask BEFORE the divide: zero out-mass sources would
+            # floor-divide by zero
+            c[valid] = (sr[valid] * d * w[valid]) // (100 * sd[valid])
+        else:  # exact big-int fallback, identical floor expression
+            c = np.array([(int(r) * d * int(ww)) // (100 * int(gg))
+                          if gg else 0
+                          for r, ww, gg in zip(sr, w, sd)], dtype=np.int64)
+        mask = valid & (c > 0)
+        df = pd.DataFrame({"dst": dst[mask], "contrib": c[mask]})
+        g = df.groupby("dst", sort=True)["contrib"].sum().reset_index()
+        out = pa.table({"dst": pa.array(g["dst"], type=pa.int64()),
+                        "contrib": pa.array(g["contrib"], type=pa.int64())})
+        return _split_by(out, "dst")
+
+    def _apply(state_t: pa.Table, base: int, *pieces: pa.Table):
+        ids = state_t["id"].to_numpy(zero_copy_only=False)
+        deg = state_t["deg"].to_numpy(zero_copy_only=False)
+        acc = np.zeros(len(ids), dtype=np.int64)
+        for p in pieces:
+            if p.num_rows:
+                idx = np.searchsorted(
+                    ids, p["dst"].to_numpy(zero_copy_only=False))
+                np.add.at(acc, idx,
+                          p["contrib"].to_numpy(zero_copy_only=False))
+        rank = acc + base
+        new_state = pa.table({
+            "id": state_t["id"], "deg": state_t["deg"],
+            "rank": pa.array(rank, type=pa.int64())})
+        return new_state, int(rank[deg == 0].sum())
+
+    contrib = ray.remote(_contrib)
+    apply_ = ray.remote(num_returns=2)(_apply)
+
     for _ in range(iters):
-        agg = state.filter(expr="deg == 0").aggregate(Sum("rank"))
-        dangling = int(agg["sum(rank)"] or 0) if agg else 0
+        dangling = sum(ray.get(dangle_refs))
         base = (scale * (100 - d)) // (100 * n) + (dangling * d) // (100 * n)
+        cons = [_multi(contrib, edge_shards[j], state[j]) for j in range(B)]
+        stepped = [apply_.remote(state[j], base,
+                                 *[cons[i][j] for i in range(B)])
+                   for j in range(B)]
+        state = [s for s, _ in stepped]
+        dangle_refs = [g for _, g in stepped]
 
-        # contributions: edges ⋈ state on src (one exchange), partials
-        # pre-aggregated per bucket by dst
-        def contrib_bucket(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            side = t["__side"].to_numpy(zero_copy_only=False)
-            e = t.filter(pa.array(side == 0))
-            s = t.filter(pa.array(side == 1))
-            edf = pd.DataFrame({
-                "id": e["id"].to_numpy(zero_copy_only=False),
-                "dst": e["dst"].to_numpy(zero_copy_only=False),
-                "w": e["w"].to_numpy(zero_copy_only=False)})
-            sdf = pd.DataFrame({
-                "id": s["id"].to_numpy(zero_copy_only=False),
-                "deg": s["deg"].to_numpy(zero_copy_only=False),
-                "rank": s["rank"].to_numpy(zero_copy_only=False)})
-            m = edf.merge(sdf[sdf["deg"] > 0], on="id", how="inner")
-            if len(m) == 0:
-                return pa.table({
-                    "dst": pa.array([], type=pa.int64()),
-                    "contrib": pa.array([], type=pa.int64())})
-            rk = m["rank"].to_numpy()
-            w = m["w"].to_numpy()
-            dg = m["deg"].to_numpy()
-            if int(rk.max()) * d * int(w.max()) < (1 << 62):
-                c = (rk * d * w) // (100 * dg)  # int64-safe fast path
-            else:  # exact big-int fallback, identical floor expression
-                c = np.array([(int(r) * d * int(ww)) // (100 * int(gg))
-                              for r, ww, gg in zip(rk, w, dg)],
-                             dtype=np.int64)
-            g = pd.DataFrame({"dst": m["dst"].to_numpy(), "contrib": c})
-            g = g[g["contrib"] > 0] \
-                .groupby("dst", sort=True)["contrib"].sum().reset_index()
-            return pa.table({
-                "dst": pa.array(g["dst"], type=pa.int64()),
-                "contrib": pa.array(g["contrib"], type=pa.int64()),
-            })
-
-        partials = bucketed_group_apply(
-            # both sides emit the SAME column set (absent sources null-fill
-            # via the "__none" miss) — no reliance on union schema
-            # unification across Ray versions
-            _tag(edges, 0, {"id": "src", "dst": "dst", "w": "w",
-                            "deg": "__none", "rank": "__none"}).union(
-                _tag(state, 1, {"id": "id", "dst": "__none",
-                                "w": "__none", "deg": "deg",
-                                "rank": "rank"})),
-            ["id"], contrib_bucket, num_buckets=num_buckets)
-
-        # new state: node table ⋈ contrib partials on id (one exchange)
-        def apply_bucket(t: pa.Table) -> pa.Table:
-            side = t["__side"].to_numpy(zero_copy_only=False)
-            s = t.filter(pa.array(side == 0))
-            p = t.filter(pa.array(side == 1))
-            acc: dict[int, int] = {}
-            for i, c in zip(p["id"].to_pylist(), p["deg"].to_pylist()):
-                acc[i] = acc.get(i, 0) + c
-            ids = s["id"].to_pylist()
-            return pa.table({
-                "id": pa.array(ids, type=pa.int64()),
-                "deg": s["deg"],
-                "rank": pa.array([base + acc.get(i, 0) for i in ids],
-                                 type=pa.int64()),
-            })
-
-        state = bucketed_group_apply(
-            _tag(state, 0, {"id": "id", "deg": "deg"}).union(
-                _tag(partials, 1, {"id": "dst", "deg": "contrib"})),
-            ["id"], apply_bucket, num_buckets=num_buckets).materialize()
-
-    return state.map_batches(lambda t: t.select(["id", "rank"]),
-                             batch_format="pyarrow", zero_copy_batch=True)
+    return rd.from_arrow_refs(state).map_batches(
+        lambda t: t.select(["id", "rank"]),
+        batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _pagerank_broadcast(edges, nodes, degs, n, d, iters, scale,
