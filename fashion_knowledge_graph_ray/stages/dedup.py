@@ -470,89 +470,215 @@ def jaccard_ngram_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
 def lsh_neardup_pairs(ds, *, emb_col: str = "embedding",
                       id_col: str = "vec_id", threshold: float = 0.95,
                       ntables: int = 6, nbits: int = 8, seed: int = 42,
-                      num_buckets: int = 64):
+                      num_buckets: int = 64, bloom_bits: int = 1 << 23):
     """APPROXIMATE cosine near-dup pairs via random-hyperplane LSH — the
     scale path behind ``embedding_neardup_pairs``.
 
     ``ntables`` independent sign-bit hash tables of ``nbits`` hyperplanes
     each; vectors sharing a key in ANY table become candidates, verified
-    exactly in-bucket (batch matmul). For cosine >= 0.95 (angle <= 18°)
-    the per-table collision probability is (1 - 18/180)^8 ≈ 0.43, so six
-    tables catch ≈ 1-(1-0.43)^6 ≈ 97% of true pairs — approximate by
-    design; documented trade for never materializing the corpus.
+    exactly in float64. For cosine >= 0.95 (angle <= 18°) the per-table
+    collision probability is (1 - 18/180)^8 ≈ 0.43, so six tables catch
+    ≈ 1-(1-0.43)^6 ≈ 97% of true pairs — approximate by design;
+    documented trade for never materializing the corpus.
 
-    Scale shape: one shuffle of (table_id:bucket_key, id, vec) rows
-    (``ntables`` x corpus), candidate pairs generated + verified per
-    bucket, then a distinct pass. Deterministic: fixed-seed hyperplanes,
-    (a < b) emitted once per table, deduped."""
+    Scale shape (the round-2 exchange carried the full float64 vector
+    ntables× through the LSH shuffle with per-row Python key strings —
+    this version moves ≥4× fewer bytes):
+
+    1. **codes**: ONE matmul per batch against all ``ntables×nbits``
+       hyperplanes, keys packed as int64 ``table<<nbits | code`` — the
+       LSH exchange ships (int64 bkey, int64 id) rows ONLY, 16 B/row,
+       no vectors, no Python loop;
+    2. **candidates**: per-bucket vectorized self-merge on bkey emits
+       distinct (a < b) id pairs; a bucketed distinct collapses
+       cross-table duplicates BEFORE any vector moves;
+    3. **verify**: a Bloom filter of involved ids (driver holds bits,
+       never rows — same gate as ``incremental_dedup``) prunes the
+       vector table to candidates±FP, then two bucketed gathers attach
+       vec_a and vec_b and compute the exact float64 cosine. Vectors
+       cross the exchanges ≤2× (only involved ones), vs ntables× for
+       the whole corpus before.
+
+    Deterministic: fixed-seed hyperplanes, (a < b) emitted once."""
     import ray
 
     # probe the dimension from one row (cheap; avoids schema reliance)
     dim = len(ds.limit(1).take_all()[0][emb_col])
     rng = np.random.Generator(np.random.PCG64(seed))
-    planes = rng.standard_normal((ntables, nbits, dim))
+    # flat (ntables*nbits, dim): one matmul covers every table
+    planes = rng.standard_normal((ntables, nbits, dim)) \
+        .reshape(ntables * nbits, dim)
     planes_ref = ray.put(planes) if ray.is_initialized() else planes
 
-    def to_buckets(t: pa.Table) -> pa.Table:
-        pl = ray.get(planes_ref) if not isinstance(planes_ref, np.ndarray) \
-            else planes_ref
-        ids = np.asarray(t[id_col].to_pylist())
-        mat = np.stack([np.asarray(v, dtype=np.float64)
-                        for v in t[emb_col].to_pylist()])
-        keys, out_i, out_v = [], [], []
-        weights = 1 << np.arange(nbits)
-        for ti in range(ntables):
-            signs = (mat @ pl[ti].T) >= 0
-            codes = signs @ weights
-            for i, c in zip(ids, codes):
-                keys.append(f"{ti}:{int(c)}")
-                out_i.append(int(i))
-            out_v.extend(mat)
+    # consumed twice (code pass + verify gather) — pin the narrow
+    # projection instead of re-executing upstream lineage per consumer
+    vecs = ds.select_columns([id_col, emb_col]).materialize()
+
+    def _matrix(t: pa.Table) -> np.ndarray:
+        col = t[emb_col].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        if flat.size != t.num_rows * dim:
+            raise ValueError(
+                f"{emb_col} must be fixed-width list<{dim}> "
+                f"(got {flat.size} values for {t.num_rows} rows)")
+        return flat.reshape(t.num_rows, dim)
+
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+    toffs = (np.arange(ntables, dtype=np.int64) << np.int64(nbits))
+
+    def to_codes(t: pa.Table) -> pa.Table:
+        pl = planes_ref if isinstance(planes_ref, np.ndarray) \
+            else ray.get(planes_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        signs = (_matrix(t) @ pl.T) >= 0            # (n, ntables*nbits)
+        codes = signs.reshape(len(ids), ntables, nbits) @ weights
+        keys = (codes + toffs[None, :]).ravel()     # row-major: id repeats
         return pa.table({
-            "bkey": pa.array(keys, type=pa.string()),
-            "id": pa.array(out_i, type=pa.int64()),
-            "vec": pa.array([v.tolist() for v in out_v],
-                            type=pa.list_(pa.float64())),
+            "bkey": pa.array(keys, type=pa.int64()),
+            "id": pa.array(np.repeat(ids, ntables), type=pa.int64()),
         })
 
-    rows = ds.map_batches(to_buckets, batch_format="pyarrow",
-                          batch_size=1024, zero_copy_batch=True)
+    rows = vecs.map_batches(to_codes, batch_format="pyarrow",
+                            batch_size=4096, zero_copy_batch=True)
 
     def pairs_in_bucket(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        df = pd.DataFrame({"bkey": t["bkey"].to_pandas(),
-                           "id": t["id"].to_pandas(),
-                           "vec": t["vec"].to_pandas()})
+        df = pd.DataFrame({
+            "bkey": t["bkey"].to_numpy(zero_copy_only=False),
+            "id": t["id"].to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        m = df.merge(df, on="bkey")
+        m = m[m["id_x"] < m["id_y"]][["id_x", "id_y"]].drop_duplicates()
+        return pa.table({"a": pa.array(m["id_x"], type=pa.int64()),
+                         "b": pa.array(m["id_y"], type=pa.int64())})
+
+    def dd_pairs(t: pa.Table) -> pa.Table:
+        return t.group_by(["a", "b"]).aggregate([])
+
+    cand = bucketed_group_apply(rows, ["bkey"], pairs_in_bucket,
+                                num_buckets=num_buckets)
+    cand = bucketed_group_apply(
+        cand.map_batches(dd_pairs, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["a", "b"], dd_pairs, num_buckets=num_buckets).materialize()
+
+    # ── Bloom gate: prune the vector table to involved ids ± FP ─────────
+    bloom_bits = ((bloom_bits + 63) // 64) * 64
+
+    def _slots(h: np.ndarray):
+        for k in range(4):
+            hk = (h ^ np.uint64((0x9E3779B97F4A7C15 * (k + 1))
+                                & 0xFFFFFFFFFFFFFFFF))
+            yield (hk * np.uint64(0xBF58476D1CE4E5B9)) \
+                % np.uint64(bloom_bits)
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bm = np.zeros(bloom_bits // 64, dtype=np.uint64)
+        h = np.unique(np.concatenate([
+            t["a"].to_numpy(zero_copy_only=False),
+            t["b"].to_numpy(zero_copy_only=False)])).astype(np.uint64)
+        for hk in _slots(h):
+            np.bitwise_or.at(bm, (hk // np.uint64(64)).astype(np.int64),
+                             np.uint64(1) << (hk % np.uint64(64)))
+        return pa.table({"bitmap": pa.array([bm.tobytes()],
+                                            type=pa.binary())})
+
+    bloom = np.zeros(bloom_bits // 64, dtype=np.uint64)
+    for b in cand.map_batches(bloom_partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+            .iter_batches(batch_format="pyarrow"):
+        for raw in b["bitmap"].to_pylist():
+            bloom |= np.frombuffer(raw, dtype=np.uint64)
+    bloom_ref = ray.put(bloom) if ray.is_initialized() else bloom
+
+    def vec_prune(t: pa.Table) -> pa.Table:
+        bm = bloom_ref if isinstance(bloom_ref, np.ndarray) \
+            else ray.get(bloom_ref)
+        h = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        hit = np.ones(len(h), dtype=bool)
+        for hk in _slots(h):
+            word = bm[(hk // np.uint64(64)).astype(np.int64)]
+            hit &= (word >> (hk % np.uint64(64))) & np.uint64(1) != 0
+        return t.filter(pa.array(hit))
+
+    pruned = vecs.map_batches(vec_prune, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    # ── two bucketed gathers attach vectors; exact float64 verify ───────
+    vec_t = pa.list_(pa.float64())
+
+    def tag_pairs(key: str, other: str):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "key": t[key], "other": t[other],
+                "vec": pa.nulls(t.num_rows, type=vec_t),
+                "carry": (t["carry"] if "carry" in t.column_names
+                          else pa.nulls(t.num_rows, type=vec_t)),
+                "__side": pa.array([0] * t.num_rows, type=pa.int64())})
+        return f
+
+    def tag_vecs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": t[id_col].cast(pa.int64()),
+            "other": pa.nulls(t.num_rows, type=pa.int64()),
+            "vec": t[emb_col].cast(vec_t),
+            "carry": pa.nulls(t.num_rows, type=vec_t),
+            "__side": pa.array([1] * t.num_rows, type=pa.int64())})
+
+    def attach(t: pa.Table) -> pa.Table:
+        """Pairs keyed on one side pick up that side's vector; a prior
+        carry (vec_a from the first gather) rides along unchanged."""
+        import pandas as pd
+
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        p = t.filter(pa.array(side == 0))
+        v = t.filter(pa.array(side == 1))
+        vm = dict(zip(v["key"].to_pylist(), v["vec"].to_pylist()))
+        keys = p["key"].to_pylist()
+        return pa.table({
+            "key": p["other"],          # next gather keys on the other id
+            "other": p["key"],
+            "vec": pa.nulls(p.num_rows, type=vec_t),
+            "carry": pa.array([vm.get(k) for k in keys], type=vec_t),
+            "__side": pa.array([0] * p.num_rows, type=pa.int64()),
+        })
+
+    step_a = bucketed_group_apply(
+        cand.map_batches(tag_pairs("a", "b"), batch_format="pyarrow",
+                         zero_copy_batch=True)
+        .union(pruned.map_batches(tag_vecs, batch_format="pyarrow",
+                                  zero_copy_batch=True)),
+        ["key"], attach, num_buckets=num_buckets)
+
+    def verify(t: pa.Table) -> pa.Table:
+        side = t["__side"].to_numpy(zero_copy_only=False)
+        p = t.filter(pa.array(side == 0))
+        v = t.filter(pa.array(side == 1))
+        vm = dict(zip(v["key"].to_pylist(), v["vec"].to_pylist()))
+        b_ids = p["key"].to_pylist()     # after attach, key = b side
+        a_ids = p["other"].to_pylist()
         a_out, b_out, c_out = [], [], []
-        for _, g in df.groupby("bkey", sort=True):
-            g = g.drop_duplicates("id").sort_values("id")
-            if len(g) < 2:
+        for a, b_, va in zip(a_ids, b_ids, p["carry"].to_pylist()):
+            vb = vm.get(b_)
+            if va is None or vb is None:
                 continue
-            ids = g["id"].to_numpy()
-            m = np.stack([np.asarray(v, dtype=np.float64) for v in g["vec"]])
-            nrm = np.linalg.norm(m, axis=1, keepdims=True)
-            nrm[nrm == 0] = 1.0
-            m = m / nrm
-            sims = m @ m.T
-            ii, jj = np.where(np.triu(sims >= threshold, k=1))
-            for i, j in zip(ii, jj):
-                a_out.append(int(ids[i])); b_out.append(int(ids[j]))
-                c_out.append(float(sims[i, j]))
+            x = np.asarray(va, dtype=np.float64)
+            y = np.asarray(vb, dtype=np.float64)
+            nx = np.linalg.norm(x) or 1.0
+            ny = np.linalg.norm(y) or 1.0
+            c = float((x / nx) @ (y / ny))
+            if c >= threshold:
+                lo, hi = (a, b_) if a < b_ else (b_, a)
+                a_out.append(lo); b_out.append(hi); c_out.append(c)
         return pa.table({"a": pa.array(a_out, type=pa.int64()),
                          "b": pa.array(b_out, type=pa.int64()),
                          "cosine": pa.array(c_out, type=pa.float64())})
 
-    raw = bucketed_group_apply(rows, ["bkey"], pairs_in_bucket,
-                               num_buckets=num_buckets)
-
-    def dd(t: pa.Table) -> pa.Table:
-        g = t.group_by(["a", "b"]).aggregate([("cosine", "max")])
-        return pa.table({"a": g["a"], "b": g["b"], "cosine": g["cosine_max"]})
-
-    partial = raw.map_batches(dd, batch_format="pyarrow", zero_copy_batch=True)
-    return bucketed_group_apply(partial, ["a", "b"], dd,
-                                num_buckets=num_buckets)
+    return bucketed_group_apply(
+        step_a.union(pruned.map_batches(tag_vecs, batch_format="pyarrow",
+                                        zero_copy_batch=True)),
+        ["key"], verify, num_buckets=num_buckets)
 
 
 def embedding_neardup_pairs(ds, *, emb_col: str = "embedding",
