@@ -5,10 +5,13 @@
   cached 50k-page synthetic corpus, plus per-query timings over
   ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1). ``value`` = headline
   seconds. Parallelism from ``$RAY_GRAFT_CPUS`` (default 32).
-- ``python bench.py --scaling`` — runs the headline twice in fresh
-  subprocesses at num_cpus=8 and num_cpus=32 on the SAME input and prints
-  both times plus scaling efficiency = (t8/t32)/(32/8) (the sandbox proxy
-  for N-vs-4N cluster sizes; see BASELINE.md).
+- ``python bench.py --scaling`` — the full N-vs-4N protocol: the same
+  headline job in fresh subprocesses at num_cpus 4/16 (and 8/32 as the
+  stress pair) on the SAME input, interleaved best-of-REPS per leg,
+  repeated for ``FKGR_SCALING_SESSIONS`` (default 3) independent
+  sessions; prints every raw leg plus the MEDIAN-of-sessions efficiency
+  = (t_N/t_4N)/4 (the sandbox proxy for N-vs-4N cluster sizes; see
+  BASELINE.md for why each protocol element is the faithful proxy).
 
 Page-corpus generation is cached on disk under /tmp and excluded from the
 timed region; one untimed read warms the OS page cache first.
@@ -230,29 +233,56 @@ def scaling() -> None:
                    capture_output=True, check=True,
                    cwd=os.path.dirname(os.path.abspath(__file__)))
     reps = int(os.environ.get("FKGR_SCALING_REPS", "2"))
-    runs: dict[int, list] = {4: [], 16: [], 8: [], 32: []}
-    try:
+    # ``sessions`` independent repetitions of the WHOLE interleaved
+    # protocol; the reported efficiency is the MEDIAN of per-session
+    # efficiencies (round-2 verdict: a single favorable window is not
+    # evidence — median-of-sessions from one command is). Raw legs of
+    # every session are printed verbatim.
+    sessions = int(os.environ.get("FKGR_SCALING_SESSIONS", "3"))
+
+    def one_session() -> dict:
+        runs: dict[int, list] = {4: [], 16: [], 8: [], 32: []}
         for _ in range(reps):
             for ncpu in (4, 16, 8, 32):
                 runs[ncpu].append(run(ncpu))
+        best = {n: min(rs, key=lambda r: r["value"])
+                for n, rs in runs.items()}
+        return {
+            "sec": {n: best[n]["value"] for n in (4, 8, 16, 32)},
+            "runs": {str(n): [r["value"] for r in rs]
+                     for n, rs in runs.items()},
+            "pages_per_sec": {str(n): best[n]["pages_per_sec"]
+                              for n in (4, 8, 16, 32)},
+            "triples_per_sec_32": best[32]["triples_per_sec"],
+            "eff_4_16": round((best[4]["value"] / best[16]["value"]) / 4, 3),
+            "eff_8_32": round((best[8]["value"] / best[32]["value"]) / 4, 3),
+        }
+
+    try:
+        sess = [one_session() for _ in range(sessions)]
     finally:
         if shm_out:
             import shutil
 
             shutil.rmtree(shm_out, ignore_errors=True)
-    best = {n: min(rs, key=lambda r: r["value"]) for n, rs in runs.items()}
-    eff_4_16 = (best[4]["value"] / best[16]["value"]) / 4
-    eff_8_32 = (best[8]["value"] / best[32]["value"]) / 4
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    overall_best = {n: min(s["sec"][n] for s in sess) for n in (4, 8, 16, 32)}
     print(json.dumps({
-        "sec_4": best[4]["value"], "sec_16": best[16]["value"],
-        "sec_8": best[8]["value"], "sec_32": best[32]["value"],
-        "runs": {str(n): [r["value"] for r in rs]
-                 for n, rs in runs.items()},
-        "pages_per_sec": {str(n): best[n]["pages_per_sec"]
-                          for n in (4, 8, 16, 32)},
-        "triples_per_sec_32": best[32]["triples_per_sec"],
-        "scaling_efficiency": round(eff_4_16, 3),
-        "scaling_efficiency_8_32": round(eff_8_32, 3),
+        "sec_4": overall_best[4], "sec_16": overall_best[16],
+        "sec_8": overall_best[8], "sec_32": overall_best[32],
+        "sessions": [s["eff_4_16"] for s in sess],
+        "sessions_8_32": [s["eff_8_32"] for s in sess],
+        "session_legs": [s["runs"] for s in sess],
+        "pages_per_sec": sess[0]["pages_per_sec"],
+        "triples_per_sec_32": max(s["triples_per_sec_32"] for s in sess),
+        "scaling_efficiency": round(median([s["eff_4_16"] for s in sess]), 3),
+        "scaling_efficiency_8_32": round(
+            median([s["eff_8_32"] for s in sess]), 3),
     }))
 
 
