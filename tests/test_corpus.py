@@ -208,6 +208,30 @@ def test_inverted_index_postings_cap(ray_session):
     assert bool(row["postings_truncated"])
 
 
+def test_inverted_index_salted_identical(ray_session):
+    """The salted two-phase path (the hot-key memory valve) must be
+    row-identical to the plain bucketed merge, including caps/flags."""
+    import pandas as pd
+
+    from fashion_knowledge_graph_ray.stages.corpus import inverted_index
+
+    tbl = pa.table({
+        "doc_id": pa.array(range(60), type=pa.int64()),
+        # 'the' in every doc (hot), tail words sparse; cap forces
+        # truncation of the hot token only
+        "text": pa.array([f"the w{i % 7} w{i % 13}" for i in range(60)]),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+    a = inverted_index(ds, num_buckets=4, postings_cap=20, salt=0) \
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    b = inverted_index(ds, num_buckets=4, postings_cap=20, salt=8) \
+        .to_pandas().sort_values("token").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    hot = a[a["token"] == "the"].iloc[0]
+    assert hot["df"] == 60 and bool(hot["postings_truncated"])
+    assert hot["postings"] == ",".join(map(str, range(20)))
+
+
 def test_bm25_topk_matches_sequential(ray_session):
     from fashion_knowledge_graph_ray.stages.corpus import bm25_topk
 
