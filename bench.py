@@ -320,6 +320,62 @@ def recall() -> None:
         out[f"{tag}_recall"] = round(sum(recs) / len(recs), 4)
         out[f"{tag}_per_query"] = [round(x, 3) for x in recs]
     out["value"] = out["lsh_recall"]
+
+    # ── knn_graph: IVF regime recall@k vs the exact regime ──────────────
+    import pyarrow as pa
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.ann import (
+        knn_graph,
+        semantic_dedup,
+    )
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"]).materialize()
+    exact_nbrs: dict = {}
+    for r in knn_graph(emb, 5).take_all():
+        exact_nbrs.setdefault(r["src"], set()).add(r["dst"])
+    ncent = 16
+    knn_rec = {}
+    for nprobe in (2, 4, 8):
+        approx: dict = {}
+        for r in knn_graph(emb, 5, max_broadcast=0, ncentroids=ncent,
+                           nprobe=nprobe).take_all():
+            approx.setdefault(r["src"], set()).add(r["dst"])
+        recs = [len(exact_nbrs[s] & approx.get(s, set()))
+                / len(exact_nbrs[s]) for s in exact_nbrs]
+        knn_rec[f"nprobe{nprobe}_scan{round(100 * nprobe / ncent)}pct"] = \
+            round(sum(recs) / len(recs), 4)
+    out["knn_graph_ivf_recall_at_5"] = knn_rec
+
+    # ── SemDeDup: clustered keep-set fidelity vs global greedy ──────────
+    # planted exact dups: clone vec_id < 50 at +100000 (the query's aug)
+    def clone(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t.filter(pc.less(t["vec_id"], pa.scalar(50)))
+        return s.set_column(s.schema.get_field_index("vec_id"), "vec_id",
+                            pc.add(s["vec_id"], pa.scalar(100000)))
+
+    aug = emb.union(emb.map_batches(clone, batch_format="pyarrow",
+                                    zero_copy_batch=True)).materialize()
+    eng = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(aug, 0.95, 8).take_all()}
+    ref = {r["vec_id"]: r["kept"]
+           for r in semantic_dedup(aug, 0.95, 1).take_all()}
+    eng_keep = {k for k, v in eng.items() if v}
+    ref_keep = {k for k, v in ref.items() if v}
+    ref_drop = set(ref) - ref_keep
+    out["semdedup_fidelity"] = {
+        "keepset_jaccard": round(len(eng_keep & ref_keep)
+                                 / len(eng_keep | ref_keep), 4),
+        "dup_detection_recall": round(
+            len([k for k in ref_drop if not eng[k]]) / len(ref_drop), 4)
+        if ref_drop else None,
+        "planted_dups": 50,
+        "ref_dropped": len(ref_drop),
+        "eng_dropped": len(eng) - len(eng_keep),
+    }
     print(json.dumps(out))
     ray.shutdown()
 
