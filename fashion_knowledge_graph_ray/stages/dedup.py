@@ -626,23 +626,49 @@ def lsh_neardup_pairs(ds, *, emb_col: str = "embedding",
             "carry": pa.nulls(t.num_rows, type=vec_t),
             "__side": pa.array([1] * t.num_rows, type=pa.int64())})
 
-    def attach(t: pa.Table) -> pa.Table:
-        """Pairs keyed on one side pick up that side's vector; a prior
-        carry (vec_a from the first gather) rides along unchanged."""
-        import pandas as pd
+    def _vec_lookup(v: pa.Table):
+        """(sorted ids, row-matrix) from a tagged vector side — the
+        in-bucket gather index, all Arrow->numpy vectorized."""
+        vid = v["key"].to_numpy(zero_copy_only=False)
+        col = v["vec"].combine_chunks()
+        flat = np.asarray(col.flatten(), dtype=np.float64)
+        mat = flat.reshape(len(vid), dim) if len(vid) else \
+            np.zeros((0, dim))
+        order = np.argsort(vid)
+        return vid[order], mat[order]
 
+    def _gather(vid: np.ndarray, mat: np.ndarray, keys: np.ndarray):
+        """Rows of ``mat`` for each key; miss mask for bloom FPs whose
+        id has no vector in this bucket (cannot happen for real ids —
+        only for pairs whose side never existed)."""
+        if len(vid) == 0:
+            return np.zeros((len(keys), dim)), np.zeros(len(keys), bool)
+        idx = np.searchsorted(vid, keys)
+        idx_c = np.clip(idx, 0, len(vid) - 1)
+        hit = vid[idx_c] == keys
+        return mat[idx_c], hit
+
+    def attach(t: pa.Table) -> pa.Table:
+        """Pairs keyed on one side pick up that side's vector; the
+        gathered vec_a rides to the second gather as ``carry``."""
         side = t["__side"].to_numpy(zero_copy_only=False)
         p = t.filter(pa.array(side == 0))
         v = t.filter(pa.array(side == 1))
-        vm = dict(zip(v["key"].to_pylist(), v["vec"].to_pylist()))
-        keys = p["key"].to_pylist()
-        return pa.table({
+        vid, mat = _vec_lookup(v)
+        keys = p["key"].to_numpy(zero_copy_only=False)
+        rows, hit = _gather(vid, mat, keys)
+        carry = pa.ListArray.from_arrays(
+            pa.array(np.arange(len(keys) + 1) * dim, type=pa.int32()),
+            pa.array(rows.ravel(), type=pa.float64())) \
+            if len(keys) else pa.array([], type=vec_t)
+        out = pa.table({
             "key": p["other"],          # next gather keys on the other id
             "other": p["key"],
             "vec": pa.nulls(p.num_rows, type=vec_t),
-            "carry": pa.array([vm.get(k) for k in keys], type=vec_t),
+            "carry": carry.cast(vec_t),
             "__side": pa.array([0] * p.num_rows, type=pa.int64()),
         })
+        return out.filter(pa.array(hit)) if not hit.all() else out
 
     step_a = bucketed_group_apply(
         cand.map_batches(tag_pairs("a", "b"), batch_format="pyarrow",
@@ -655,25 +681,32 @@ def lsh_neardup_pairs(ds, *, emb_col: str = "embedding",
         side = t["__side"].to_numpy(zero_copy_only=False)
         p = t.filter(pa.array(side == 0))
         v = t.filter(pa.array(side == 1))
-        vm = dict(zip(v["key"].to_pylist(), v["vec"].to_pylist()))
-        b_ids = p["key"].to_pylist()     # after attach, key = b side
-        a_ids = p["other"].to_pylist()
-        a_out, b_out, c_out = [], [], []
-        for a, b_, va in zip(a_ids, b_ids, p["carry"].to_pylist()):
-            vb = vm.get(b_)
-            if va is None or vb is None:
-                continue
-            x = np.asarray(va, dtype=np.float64)
-            y = np.asarray(vb, dtype=np.float64)
-            nx = np.linalg.norm(x) or 1.0
-            ny = np.linalg.norm(y) or 1.0
-            c = float((x / nx) @ (y / ny))
-            if c >= threshold:
-                lo, hi = (a, b_) if a < b_ else (b_, a)
-                a_out.append(lo); b_out.append(hi); c_out.append(c)
-        return pa.table({"a": pa.array(a_out, type=pa.int64()),
-                         "b": pa.array(b_out, type=pa.int64()),
-                         "cosine": pa.array(c_out, type=pa.float64())})
+        empty = pa.table({"a": pa.array([], type=pa.int64()),
+                          "b": pa.array([], type=pa.int64()),
+                          "cosine": pa.array([], type=pa.float64())})
+        if p.num_rows == 0:
+            return empty
+        vid, mat = _vec_lookup(v)
+        b_ids = p["key"].to_numpy(zero_copy_only=False)
+        a_ids = p["other"].to_numpy(zero_copy_only=False)
+        vb, hit = _gather(vid, mat, b_ids)
+        ca = p["carry"].combine_chunks()
+        va = np.asarray(ca.flatten(), dtype=np.float64) \
+            .reshape(p.num_rows, dim)
+        na = np.linalg.norm(va, axis=1)
+        nb = np.linalg.norm(vb, axis=1)
+        na[na == 0] = 1.0
+        nb[nb == 0] = 1.0
+        cos = np.einsum("ij,ij->i", va / na[:, None], vb / nb[:, None])
+        keep = hit & (cos >= threshold)
+        if not keep.any():
+            return empty
+        a_k, b_k, c_k = a_ids[keep], b_ids[keep], cos[keep]
+        lo = np.minimum(a_k, b_k)
+        hi = np.maximum(a_k, b_k)
+        return pa.table({"a": pa.array(lo, type=pa.int64()),
+                         "b": pa.array(hi, type=pa.int64()),
+                         "cosine": pa.array(c_k, type=pa.float64())})
 
     return bucketed_group_apply(
         step_a.union(pruned.map_batches(tag_vecs, batch_format="pyarrow",
