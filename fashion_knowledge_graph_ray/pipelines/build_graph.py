@@ -233,9 +233,23 @@ def build_linked(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",
     # enrichment CPU before being dropped — a duplicate-HEAVY crawl
     # should run exact url dedup as its own partitioned pass first
     # (pipelines/resumable.py notes the shard-unique layout).
+    link_kw = {}
+    if link_mode == "embedding":
+        # build the ANN index ONCE on the driver and broadcast it: the
+        # float matrix rides zero-copy from the object store into every
+        # actor instead of each actor re-embedding the taxonomy in
+        # __init__ (taxonomy-sized work x pool size)
+        import ray
+
+        from ..stages.linker import EmbeddingLinker
+
+        tax = taxonomy_ref if isinstance(taxonomy_ref, pa.Table) \
+            else ray.get(taxonomy_ref)
+        idx = EmbeddingLinker.build_index(tax)
+        link_kw["index_ref"] = ray.put(idx) if ray.is_initialized() else idx
     ds = enrich_pages(pages_ds, taxonomy_ref, link_mode=link_mode,
                       single_product_mode=single_product_mode,
-                      concurrency=pool)
+                      concurrency=pool, **link_kw)
     return dedup_pages(ds) if dedup else ds
 
 
@@ -307,9 +321,19 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
         # taxonomy-sized (small side) — a single driver-side table write
         import pyarrow.parquet as pq
 
+        from ..stages.linker import linker_index_table
+
         os.makedirs(paths["embeddings"], exist_ok=True)
         pq.write_table(taxonomy_embeddings_table(taxonomy),
                        os.path.join(paths["embeddings"], "part-0.parquet"))
+        # persisted ANN index artifact (K6/Pinecone analog): a query
+        # session reconstructs the linker via
+        # EmbeddingLinker.from_index_table without re-embedding
+        idx_dir = os.path.join(out_dir, "index")
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        os.makedirs(idx_dir, exist_ok=True)
+        pq.write_table(linker_index_table(taxonomy),
+                       os.path.join(idx_dir, "part-0.parquet"))
 
     import concurrent.futures as cf
 

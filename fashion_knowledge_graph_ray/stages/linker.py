@@ -72,26 +72,96 @@ class GazetteerLinker:
 
 class EmbeddingLinker:
     """ANN linking actor: hash-embed index over primary taxonomy surfaces,
-    metadata-filtered cosine top-k, threshold accept."""
+    metadata-filtered cosine top-k, threshold accept.
+
+    Index lifecycle (the reference persists its index in Pinecone,
+    `/root/reference/scripts/setup_pinecone.py:22-72`; this engine's
+    analog): ``build_index`` computes the numeric artifact ONCE —
+    embedding matrix + int filter codes — which ``build_graph`` both
+    broadcasts to the actor pool via ``ray.put`` (``index_ref``; the
+    float matrix rides zero-copy from the object store, so actors skip
+    the per-``__init__`` rebuild) and persists as the ``index/`` output
+    table (``linker_index_table``); a later query session reconstructs
+    the linker from that table with ``from_index_table`` without the
+    taxonomy or the embedding function."""
 
     def __init__(self, taxonomy_ref, *, dim: int = DEFAULT_DIM, top_k: int = 5,
-                 threshold: float = LINK_SIMILARITY_THRESHOLD):
-        tax = taxonomy_ref
-        if not isinstance(tax, pa.Table):
-            import ray
+                 threshold: float = LINK_SIMILARITY_THRESHOLD,
+                 index_ref=None):
+        if index_ref is not None:
+            idx = index_ref
+            if not isinstance(idx, dict):
+                import ray
 
-            tax = ray.get(taxonomy_ref)
-        self.entity_id = np.asarray(tax["entity_id"].to_pylist())
-        # metadata filters as int codes: the per-batch mask is then three
-        # broadcast int comparisons (C speed), not a Python loop per mention
-        self._cat_code, self.cat = self._encode(tax["category"].to_pylist())
-        self._gen_code, self.gen = self._encode(tax["gender"].to_pylist())
-        self._col_code, self.col = self._encode(tax["color"].to_pylist())
-        self._unisex = self._gen_code.get("unisex", -3)
-        self.index = hash_embed(tax["surface"].to_pylist(), dim=dim)
-        self.dim = dim
+                idx = ray.get(index_ref)
+        else:
+            tax = taxonomy_ref
+            if not isinstance(tax, pa.Table):
+                import ray
+
+                tax = ray.get(taxonomy_ref)
+            idx = self.build_index(tax, dim=dim)
+        self._adopt(idx)
         self.top_k = top_k
         self.threshold = threshold
+
+    @staticmethod
+    def build_index(tax: pa.Table, *, dim: int = DEFAULT_DIM) -> dict:
+        """The numeric index artifact: embedding matrix over primary
+        surfaces + int metadata-filter codes (the per-batch mask is then
+        three broadcast int comparisons, not a Python loop per mention).
+        All-numpy values so a ``ray.put`` broadcast is zero-copy."""
+        enc = EmbeddingLinker._encode
+        cat_code, cat = enc(tax["category"].to_pylist())
+        gen_code, gen = enc(tax["gender"].to_pylist())
+        col_code, col = enc(tax["color"].to_pylist())
+        return {
+            "entity_id": np.asarray(tax["entity_id"].to_pylist()),
+            "cat_code": cat_code, "cat": cat,
+            "gen_code": gen_code, "gen": gen,
+            "col_code": col_code, "col": col,
+            "matrix": hash_embed(tax["surface"].to_pylist(), dim=dim),
+            "dim": dim,
+        }
+
+    def _adopt(self, idx: dict) -> None:
+        self.entity_id = idx["entity_id"]
+        self._cat_code, self.cat = idx["cat_code"], idx["cat"]
+        self._gen_code, self.gen = idx["gen_code"], idx["gen"]
+        self._col_code, self.col = idx["col_code"], idx["col"]
+        self._unisex = self._gen_code.get("unisex", -3)
+        self.index = idx["matrix"]
+        self.dim = idx["dim"]
+
+    @classmethod
+    def from_index_table(cls, tbl: pa.Table, *, top_k: int = 5,
+                         threshold: float = LINK_SIMILARITY_THRESHOLD):
+        """Reconstruct a linker from the persisted ``index/`` table —
+        codes rebuild deterministically from the raw label columns
+        (same sorted-set ranks as ``build_index``), the matrix loads
+        straight from the embedding column."""
+        # hash_embed emits float32; the parquet column stores exact
+        # float64 copies — cast back so scores are BIT-identical to a
+        # taxonomy-built linker
+        flat = np.asarray(tbl["embedding"].combine_chunks().flatten(),
+                          dtype=np.float64).astype(np.float32)
+        matrix = flat.reshape(tbl.num_rows, -1) if tbl.num_rows \
+            else np.zeros((0, DEFAULT_DIM), dtype=np.float32)
+        enc = cls._encode
+        cat_code, cat = enc(tbl["category"].to_pylist())
+        gen_code, gen = enc(tbl["gender"].to_pylist())
+        col_code, col = enc(tbl["color"].to_pylist())
+        self = cls.__new__(cls)
+        self._adopt({
+            "entity_id": np.asarray(tbl["entity_id"].to_pylist()),
+            "cat_code": cat_code, "cat": cat,
+            "gen_code": gen_code, "gen": gen,
+            "col_code": col_code, "col": col,
+            "matrix": matrix, "dim": matrix.shape[1],
+        })
+        self.top_k = top_k
+        self.threshold = threshold
+        return self
 
     @staticmethod
     def _encode(values):
@@ -173,6 +243,23 @@ def _rebuild_flat(batch: pa.Table, list_arr, vals, ent: pa.Array,
     arrays = [vals.field(f.name) for f in keep] + [ent, sc]
     new_vals = pa.StructArray.from_arrays(arrays, fields=fields)
     return rewrap_mentions(batch, list_arr, new_vals)
+
+
+def linker_index_table(tax: pa.Table, *, dim: int = DEFAULT_DIM) -> pa.Table:
+    """The persisted form of the linker's ANN index (K6 analog — the
+    reference stores it in Pinecone, setup_pinecone.py:22-72): entity
+    ids, the raw filter-label columns (codes rebuild deterministically),
+    and the surface-embedding rows. ``EmbeddingLinker.from_index_table``
+    round-trips it."""
+    idx = EmbeddingLinker.build_index(tax, dim=dim)
+    return pa.table({
+        "entity_id": pa.array(idx["entity_id"].tolist(), type=pa.string()),
+        "category": tax["category"],
+        "gender": tax["gender"],
+        "color": tax["color"],
+        "embedding": pa.array([r.tolist() for r in idx["matrix"]],
+                              type=pa.list_(pa.float64())),
+    })
 
 
 class EnrichmentStage:

@@ -194,6 +194,23 @@ def test_embedding_linker_type_filter(tax):
     assert out["entity_id"] is None
 
 
+def test_embedding_linker_index_roundtrip(tax):
+    """build_index broadcast + persisted index_table reconstruction must
+    link identically to the taxonomy-built linker."""
+    from fashion_knowledge_graph_ray.stages.linker import linker_index_table
+
+    batch = pa.table(_mention_row("u", "black blouse", "top",
+                                  _attrs(type="top", gender="unisex")))
+    base = EmbeddingLinker(tax)(batch)["mentions"].to_pylist()
+    via_ref = EmbeddingLinker(
+        None, index_ref=EmbeddingLinker.build_index(tax))(batch) \
+        ["mentions"].to_pylist()
+    via_table = EmbeddingLinker.from_index_table(
+        linker_index_table(tax))(batch)["mentions"].to_pylist()
+    assert base == via_ref == via_table
+    assert base[0][0]["entity_id"] == "prod-000000"
+
+
 def test_embedding_linker_gender_filter(tax):
     # gender filter allows unisex + extracted gender (reference $in filter)
     lk = EmbeddingLinker(tax)
