@@ -40,6 +40,7 @@ QUERY_NAMES = [
     "tfidf_topk_docs", "shuffle_rank_docs", "inverted_index_docs",
     "chunk_dedup_docs", "incremental_dedup_docs", "knn_graph_emb",
     "semantic_dedup_emb", "pagerank_lineitem", "hll_distinct_events",
+    "near_dup_cosine_lsh",
     "kg_pagerank", "bm25_topk_docs", "triangles_parts", "bigram_counts_docs",
     "training_set_docs",
 ]

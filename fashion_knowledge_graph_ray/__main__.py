@@ -143,6 +143,17 @@ def _cmd_query(args) -> int:
                                 top_k=args.top_k)
         print(json.dumps({k: v.to_pylist() for k, v in out.items()},
                          default=str))
+    elif args.what == "outfit":
+        # style-match-by-text over the PERSISTED dual-profile embeddings
+        # table (reference recommender.py:327-510) — no taxonomy reload,
+        # no re-embedding
+        import pyarrow.parquet as pq
+
+        from .pipelines.query import outfit_from_text
+
+        tbl = pq.read_table(os.path.join(args.kg, "embeddings"))
+        out = outfit_from_text(args.text, tbl, top_k=args.top_k)
+        print(json.dumps(out.to_pylist(), default=str))
     else:  # pagerank over the built KG
         import pyarrow.compute as pc
 
@@ -205,9 +216,10 @@ def main(argv: list[str] | None = None) -> int:
     c.set_defaults(fn=_cmd_curate)
 
     q = sub.add_parser("query")
-    q.add_argument("what", choices=["related", "look", "pagerank"])
+    q.add_argument("what", choices=["related", "look", "outfit", "pagerank"])
     q.add_argument("--kg", required=True)
     q.add_argument("--entity", default="")
+    q.add_argument("--text", default="", help="outfit: free-text style query")
     q.add_argument("--rel", default="worn_with")
     q.add_argument("--min-weight", type=int, default=1)
     q.add_argument("--top-k", type=int, default=10)

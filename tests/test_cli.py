@@ -37,3 +37,12 @@ def test_cli_datagen_build_query(tmp_path):
     assert len(out) == 3
     assert all(r["entity_id"].startswith("prod-") for r in out)
     assert out[0]["rank"] >= out[1]["rank"] >= out[2]["rank"]
+
+    # style-match-by-text over the persisted embeddings table
+    out = _run(["--num-cpus", "4", "query", "outfit", "--kg", kg,
+                "--text", "red silk dress", "--top-k", "3"], repo)
+    assert 0 < len(out) <= 3
+    assert all(r["entity_id"].startswith("prod-") for r in out)
+
+    # the persisted ANN index artifact reconstructs the linker
+    assert os.path.isdir(os.path.join(kg, "index"))
