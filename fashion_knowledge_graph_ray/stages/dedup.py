@@ -602,8 +602,10 @@ def lsh_neardup_pairs(ds, *, emb_col: str = "embedding",
             hit &= (word >> (hk % np.uint64(64))) & np.uint64(1) != 0
         return t.filter(pa.array(hit))
 
+    # BOTH gathers consume the pruned vectors — materialize once
+    # (object-store footprint = involved ids ± bloom FP, not the corpus)
     pruned = vecs.map_batches(vec_prune, batch_format="pyarrow",
-                              zero_copy_batch=True)
+                              zero_copy_batch=True).materialize()
 
     # ── two bucketed gathers attach vectors; exact float64 verify ───────
     vec_t = pa.list_(pa.float64())
