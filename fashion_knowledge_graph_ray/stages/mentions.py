@@ -90,18 +90,21 @@ def _trie_regex(words) -> str:
     def build(d: dict) -> str:
         if "" in d and len(d) == 1:
             return ""
-        alts = []
-        opt = "" in d
-        for ch, sub in sorted(d.items()):
-            if ch == "":
-                continue
-            alts.append(re.escape(ch) + build(sub))
+        parts = [(re.escape(ch), build(sub))
+                 for ch, sub in sorted(d.items()) if ch != ""]
+        alts = [c + t for c, t in parts]
         body = alts[0] if len(alts) == 1 else "(?:" + "|".join(alts) + ")"
-        # a terminal node with ONE multi-atom continuation must group
+        if "" not in d:
+            return body
+        # a terminal node with ONE continuing alternative must group
         # before applying '?': "bc?" + "?" would bind the optionality to
         # the last atom only, silently requiring the continuation and
-        # breaking prefix-chain forms ("silk" vs "silk scarf red")
-        return f"(?:{body})?" if opt else body
+        # breaking prefix-chain forms ("silk" vs "silk scarf red").
+        # Single-atom bodies (lone escaped char, or an already-grouped
+        # multi-alt) skip the extra group — the pattern stays tight.
+        if len(alts) == 1 and parts[0][1]:
+            return f"(?:{body})?"
+        return body + "?"
 
     return "(?:" + "|".join(
         re.escape(ch) + build(sub) for ch, sub in sorted(trie.items()) if ch != ""
