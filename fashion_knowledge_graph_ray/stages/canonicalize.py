@@ -51,6 +51,32 @@ def shingles(text: str, k: int = _SHINGLE_K) -> set[str]:
     return {s[i: i + k] for i in range(max(1, len(s) - k + 1))}
 
 
+_POLY = np.uint64(1099511628211)  # FNV-64 prime; any odd multiplier works
+
+
+def _shingle_hash_values(text: str, k: int) -> np.ndarray:
+    """uint64 rolling-polynomial hashes of every char-k-shingle of
+    `` text `` (duplicates included), FULLY VECTORIZED: the text decodes
+    once to a UTF-32 codepoint array and k Horner passes produce all
+    window hashes — no per-shingle Python, no per-shingle crc32 calls
+    (the round-2 hot loop: ~1 crc32 call per character of corpus).
+    Deterministic and process-stable (pure integer arithmetic with
+    uint64 wraparound); the hash VALUES differ from round 2's crc32 but
+    the hashing is the semantics and every consumer — distributed band
+    rows, verify kernels, and the sequential VALUES oracles — shares
+    these kernels, so all results stay internally consistent."""
+    s = f" {(text or '').lower()} "
+    cp = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.uint64)
+    n = len(cp) - k + 1
+    if n <= 0:
+        n, k = 1, len(cp)  # short string: one truncated shingle
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):  # Horner across window offsets, vectorized
+        h = h * _POLY + cp[j:j + n]
+    return h
+
+
 def jaccard(a: str, b: str, k: int = _SHINGLE_K) -> float:
     sa, sb = shingles(a, k), shingles(b, k)
     if not sa and not sb:
@@ -60,10 +86,7 @@ def jaccard(a: str, b: str, k: int = _SHINGLE_K) -> float:
 
 def minhash_signature(text: str, num_perm: int = _NUM_PERM,
                       k: int = _SHINGLE_K) -> np.ndarray:
-    hs = np.fromiter(
-        (zlib.crc32(g.encode("utf-8")) for g in shingles(text, k)),
-        dtype=np.uint64,
-    )
+    hs = np.unique(_shingle_hash_values(text, k))
     if hs.size == 0:
         return np.zeros(num_perm, dtype=np.uint64)
     # (num_perm, n_shingles) universal hashes, min over shingles
@@ -100,13 +123,9 @@ def lsh_band_rows(ds, text_col: str, id_col: str, *,
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Sorted distinct uint64 crc32 hashes of the char-k-shingles."""
-    s = f" {(text or '').lower()} "
-    hs = np.fromiter(
-        (zlib.crc32(s[i: i + k].encode("utf-8"))
-         for i in range(max(1, len(s) - k + 1))),
-        dtype=np.uint64)
-    return np.unique(hs)
+    """Sorted distinct uint64 rolling-hashes of the char-k-shingles
+    (vectorized; see ``_shingle_hash_values``)."""
+    return np.unique(_shingle_hash_values(text, k))
 
 
 def candidate_pairs(band_rows_ds, texts_ds, *,
