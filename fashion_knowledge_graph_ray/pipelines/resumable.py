@@ -207,11 +207,18 @@ def build_graph_resumable(pages_path: str, taxonomy: pa.Table, out_dir: str, *,
     # resumable builds too. Taxonomy-sized — a single driver-side write.
     import pyarrow.parquet as pq
 
+    from ..stages.linker import linker_index_table
     from .build_graph import taxonomy_embeddings_table
 
     os.makedirs(paths["embeddings"], exist_ok=True)
     pq.write_table(taxonomy_embeddings_table(taxonomy),
                    os.path.join(paths["embeddings"], "part-0.parquet"))
+    # persisted ANN index artifact — same contract as build_graph
+    idx_dir = os.path.join(out_dir, "index")
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    os.makedirs(idx_dir, exist_ok=True)
+    pq.write_table(linker_index_table(taxonomy),
+                   os.path.join(idx_dir, "part-0.parquet"))
 
     # partitioning=None: the part=i layout must NOT hive-inject a `part`
     # column — partition lineage lives in the manifests, not the schema.
