@@ -1358,6 +1358,17 @@ def _q_label_value_counts_events(sf_dir: str):
     return value_counts(ev, "event_type", num_buckets=8)
 
 
+def _q_source_stats_docs(sf_dir: str):
+    # per-source (domain analog) corpus health report: doc count, token
+    # sum (same tokenizer/SQL pairing as token_count_docs), integer
+    # per-mille mean chars, exact distinct-language count
+    from fashion_knowledge_graph_ray.stages.metrics import source_stats
+
+    docs = _read(sf_dir, "documents",
+                 ["source", "text", "n_chars", "lang"], blocks=16)
+    return source_stats(docs, num_buckets=8)
+
+
 _OUTFIT_QUERY = "a crimson silk blouse for party looks"
 _OUTFIT_HTML = (b"<html><body><p>Street style: a black blouse worn with "
                 b"faded jeans and white sneakers.</p></body></html>")
@@ -1592,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_window_events": _q_session_window_events,
         "broadcast_join_lineitem": _q_broadcast_join_lineitem,
         "shuffle_join_orders": _q_shuffle_join_orders,
+        "source_stats_docs": _q_source_stats_docs,
     }
 
 
@@ -2997,6 +3009,14 @@ WHERE p_size >= 30""",
         "shuffle_join_orders": """
 SELECT o_orderkey, o_custkey, c_name
 FROM orders JOIN customer ON c_custkey = o_custkey""",
+        "source_stats_docs": f"""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM({ntok}) AS BIGINT) AS sum_tokens,
+       CAST((1000 * SUM(n_chars)) // COUNT(*) AS BIGINT)
+           AS avg_chars_milli,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents GROUP BY source""",
         "union_upsert_docs": """
 WITH u AS (
   SELECT doc_id, lang, 0 AS prio FROM documents WHERE doc_id % 2 = 0

@@ -232,6 +232,25 @@ def test_inverted_index_salted_identical(ray_session):
     assert hot["postings"] == ",".join(map(str, range(20)))
 
 
+def test_source_stats_matches_sequential(ray_session):
+    from fashion_knowledge_graph_ray.stages.metrics import source_stats
+
+    tbl = pa.table({
+        "source": ["a", "a", "b", "b", "b"],
+        "text": ["one two", "three", "", "x y z", "x"],
+        "n_chars": pa.array([6, 5, 0, 3, 1], type=pa.int64()),
+        "lang": ["en", "de", "en", "en", None],
+    })
+    out = source_stats(rd.from_arrow(tbl).repartition(3), num_buckets=2) \
+        .to_pandas().sort_values("source").reset_index(drop=True)
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["n_docs"].tolist() == [2, 3]
+    assert out["sum_tokens"].tolist() == [3, 4]
+    assert out["avg_chars_milli"].tolist() == [(1000 * 11) // 2,
+                                               (1000 * 4) // 3]
+    assert out["n_langs"].tolist() == [2, 1]  # None lang not counted
+
+
 def test_bm25_topk_matches_sequential(ray_session):
     from fashion_knowledge_graph_ray.stages.corpus import bm25_topk
 
