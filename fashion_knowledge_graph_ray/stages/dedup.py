@@ -758,16 +758,14 @@ def embedding_neardup_pairs(ds, *, emb_col: str = "embedding",
         qn[qn == 0] = 1.0
         q = q / qn
         sims = q @ bmat.T
-        a_out, b_out, s_out = [], [], []
-        for i, qi in enumerate(q_ids):
-            hits = np.where(sims[i] >= threshold)[0]
-            for j in hits:
-                if qi < bid[j]:  # a < b, no self-pairs, emitted once
-                    a_out.append(int(qi)); b_out.append(int(bid[j]))
-                    s_out.append(float(sims[i, j]))
-        return pa.table({"a": pa.array(a_out, type=pa.int64()),
-                         "b": pa.array(b_out, type=pa.int64()),
-                         "cosine": pa.array(s_out, type=pa.float64())})
+        # one masked nonzero per batch: row-major order matches the old
+        # per-row loop; qi < bid[j] keeps each pair once with a < b
+        ii, jj = np.nonzero(sims >= threshold)
+        keep = q_ids[ii] < bid[jj]
+        ii, jj = ii[keep], jj[keep]
+        return pa.table({"a": pa.array(q_ids[ii].astype(np.int64)),
+                         "b": pa.array(bid[jj].astype(np.int64)),
+                         "cosine": pa.array(sims[ii, jj].astype(np.float64))})
 
     return ds.map_batches(find, batch_format="pyarrow", batch_size=1024,
                           zero_copy_batch=True)

@@ -28,8 +28,23 @@ float accumulation whose value would depend on shuffle order.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .bucketed import bucketed_group_apply
+
+_TICKS_PER_SEC = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}
+
+
+def _epoch_ticks(t: pa.Table, ts_col: str):
+    """(ticks:int64 ndarray, ticks-per-second, original timestamp type).
+
+    cast(int64) yields epoch ticks in the column's own unit for BOTH naive
+    and tz-aware timestamps (Arrow stores UTC epoch internally), where a
+    pandas .astype('datetime64[ns]') route raises on tz-aware columns."""
+    ty = t.schema.field(ts_col).type
+    per_sec = _TICKS_PER_SEC[ty.unit]
+    ticks = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return ticks, per_sec, ty
 
 
 def tumbling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
@@ -37,27 +52,37 @@ def tumbling_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
                     num_buckets: int = 64):
     """Per (key, window_start) count + max over fixed windows.
 
-    ``width`` is a pandas floor frequency ("h", "15min", "d").
-    Returns (key, window_start, n_events, max_value).
+    ``width`` is a pandas-style frequency string ("h", "15min", "d"),
+    parsed ONCE at pipeline build; the per-batch kernel is pure Arrow —
+    integer epoch floor + ``Table.group_by`` — with no pandas frame in the
+    hot path. Returns (key, window_start, n_events, max_value);
+    ``window_start`` keeps the input column's timestamp type.
     """
+    import pandas as pd
+
+    width_ns = int(pd.tseries.frequencies.to_offset(width).nanos)
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame({key_col: t[key_col].to_pandas(),
-                           "window_start": t[ts_col].to_pandas().dt.floor(width),
-                           value_col: t[value_col].to_pandas()})
-        g = df.groupby([key_col, "window_start"], sort=True).agg(
-            n_events=(value_col, "size"), max_value=(value_col, "max"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        ticks, per_sec, ty = _epoch_ticks(t, ts_col)
+        width_ticks = width_ns * per_sec // 10**9
+        # int64 // floors toward -inf, matching pandas dt.floor pre-epoch
+        ws = pa.array(ticks // width_ticks * width_ticks,
+                      type=pa.int64()).cast(ty)
+        g = pa.table({key_col: t[key_col], "window_start": ws,
+                      value_col: t[value_col]}) \
+            .group_by([key_col, "window_start"]).aggregate(
+                [(value_col, "count", pc.CountOptions(mode="all")),
+                 (value_col, "max")])
+        return g.rename_columns(
+            [key_col, "window_start", "n_events", "max_value"])
 
     def merge(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas()
-        g = df.groupby([key_col, "window_start"], sort=True).agg(
-            n_events=("n_events", "sum"), max_value=("max_value", "max"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        g = t.group_by([key_col, "window_start"]).aggregate(
+            [("n_events", "sum"), ("max_value", "max")])
+        g = g.rename_columns(
+            [key_col, "window_start", "n_events", "max_value"])
+        return g.sort_by([(key_col, "ascending"),
+                          ("window_start", "ascending")])
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
@@ -83,33 +108,26 @@ def hopping_window(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     hops = width_sec // slide_sec
 
     def partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        # epoch conversion in Arrow, not pandas: cast(int64) yields epoch
-        # ticks in the column's own unit for BOTH naive and tz-aware
-        # timestamps (Arrow stores UTC epoch internally), where the pandas
-        # .astype('datetime64[ns]') route raises on tz-aware columns
-        ty = t.schema.field(ts_col).type
-        div = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[ty.unit]
-        ticks = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({key_col: t[key_col].to_pandas(),
-                           "g": (ticks // div) // slide_sec,
-                           value_col: t[value_col].to_pandas()})
-        frames = []
-        for k in range(hops):
-            d = df[[key_col, value_col]].copy()
-            d["ws_sec"] = (df["g"] - k) * slide_sec
-            frames.append(d)
-        allw = pd.concat(frames, ignore_index=True)
-        g = allw.groupby([key_col, "ws_sec"], sort=True).agg(
-            n_events=(value_col, "size"), max_value=(value_col, "max"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        ticks, per_sec, _ = _epoch_ticks(t, ts_col)
+        slide_idx = (ticks // per_sec) // slide_sec
+        # expand hops× by concatenating Arrow slices (keeps key/value
+        # columns zero-copy and null-exact); only ws_sec is fresh per hop
+        base = pa.table({key_col: t[key_col], value_col: t[value_col]})
+        parts = [base.append_column(
+                     "ws_sec", pa.array((slide_idx - k) * slide_sec,
+                                        type=pa.int64()))
+                 for k in range(hops)]
+        g = pa.concat_tables(parts) \
+            .group_by([key_col, "ws_sec"]).aggregate(
+                [(value_col, "count", pc.CountOptions(mode="all")),
+                 (value_col, "max")])
+        return g.rename_columns([key_col, "ws_sec", "n_events", "max_value"])
 
     def merge(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        g = df.groupby([key_col, "ws_sec"], sort=True).agg(
-            n_events=("n_events", "sum"), max_value=("max_value", "max"))
-        return pa.Table.from_pandas(g.reset_index(), preserve_index=False)
+        g = t.group_by([key_col, "ws_sec"]).aggregate(
+            [("n_events", "sum"), ("max_value", "max")])
+        g = g.rename_columns([key_col, "ws_sec", "n_events", "max_value"])
+        return g.sort_by([(key_col, "ascending"), ("ws_sec", "ascending")])
 
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
