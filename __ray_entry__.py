@@ -151,10 +151,16 @@ def _part_cat_map(sf_dir: str) -> dict[int, str]:
     return dict(zip(p["p_partkey"].to_pylist(), p["p_type"].to_pylist()))
 
 
-def _order_pairs(sf_dir: str):
+def _order_pairs(sf_dir: str, only_partkey: int | None = None):
     """Per-order co-occurring part pairs (G1 on the TPC-H analog): the
     exact pair-generation + rel-rule operator over (order=page,
-    part=entity, p_type=category)."""
+    part=entity, p_type=category).
+
+    ``only_partkey`` is a SEMI-JOIN pushdown for single-node 1-hop
+    queries: only orders containing the part can produce its edges, so
+    one pruned scan collects those orderkeys (bounded by the part's
+    popularity — ~|lineitem|/|part| rows), broadcasts the set, and the
+    pair self-merge runs over that sliver instead of every order."""
     import ray
 
     from fashion_knowledge_graph_ray.stages.bucketed import bucketed_group_apply
@@ -164,6 +170,23 @@ def _order_pairs(sf_dir: str):
     ref = ray.put(cat) if ray.is_initialized() else cat
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    if only_partkey is not None:
+        import pyarrow.compute as pc
+
+        sel = li.map_batches(
+            lambda t: t.filter(pc.equal(t["l_partkey"], only_partkey))
+                       .select(["l_orderkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        oks = np.unique(np.array(
+            [r["l_orderkey"] for r in sel.take_all()], dtype=np.int64))
+        okref = ray.put(oks) if ray.is_initialized() else oks
+
+        def keep(t: pa.Table) -> pa.Table:
+            o = okref if isinstance(okref, np.ndarray) else ray.get(okref)
+            return t.filter(pc.is_in(t["l_orderkey"], value_set=pa.array(o)))
+
+        li = li.map_batches(keep, batch_format="pyarrow",
+                            zero_copy_batch=True)
 
     def distinct(t: pa.Table) -> pa.Table:
         g = t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
@@ -1150,11 +1173,22 @@ def _q_top1_per_order(sf_dir: str):
 
 
 def _q_related_entities_topk(sf_dir: str):
-    # J4+O1 query layer: 1-hop neighbors of one node, weight>=2, top-5
+    # J4+O1 query layer: 1-hop neighbors of one node, weight>=2, top-5.
+    # The (src, rel) predicate is pushed BELOW the edge-aggregation
+    # shuffle (it commutes with the per-key count), so the single-node
+    # query ships only that node's partials instead of every edge.
+    import pyarrow.compute as pc
+
     from fashion_knowledge_graph_ray.pipelines.query import related_entities
     from fashion_knowledge_graph_ray.stages.aggregate import aggregate_edges
 
-    edges = aggregate_edges(_order_pairs(sf_dir), collect_evidence=False)
+    def pf(t: pa.Table) -> pa.Table:
+        return t.filter(pc.and_(pc.equal(t["src"], "p000001"),
+                                pc.equal(t["rel"], "worn_with")))
+
+    pairs = _order_pairs(sf_dir, only_partkey=1)
+    edges = aggregate_edges(pairs, collect_evidence=False,
+                            pre_filter=pf, num_buckets=1)
     return related_entities(edges, "p000001", "worn_with",
                             weight_threshold=2, top_k=5)
 
@@ -1517,68 +1551,27 @@ def _q_media_audio_features(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # DICT ORDER IS LOAD-BEARING for driver evidence: the correctness
-    # sweep verifies the first 50 entries in order (CORRECTNESS_r02
-    # recorded exactly queries 1-50 of the round-2 ordering). Round 3
-    # therefore leads with the 24 queries that have no driver-produced
-    # record yet (the flagship KG builds, canonicalize, minhash/simhash,
-    # LSH/IVF ANN, outfit, media — all judge-verified exact in round 2),
-    # followed by the queries whose code changed this round; the
-    # remaining round-2-green queries close the dict. Together r02+r03
-    # give every one of the 74 queries a driver-verified row.
+    # sweep verifies the first 50 entries in order. Standing ROTATION
+    # POLICY (round-3 verdict): every query's driver row must be at most
+    # one round old. Round 4 therefore leads with (a) source_stats_docs —
+    # added after the round-3 sweep window, never driver-verified — and
+    # the 24 queries whose green row dates from round 2 (windows, joins,
+    # textstats, json_flatten, cms, tfidf...), then (b) the queries whose
+    # code round 4 touched (windows are already in block (a); near-dup
+    # emission, edge aggregation pushdown, canonicalize plumbing,
+    # mentions casefold, graph num_buckets guard), then (c) fill to 50
+    # with the longest-unverified round-3 queries. Positions 51-75 are
+    # all round-3-green, so after this sweep no row is older than r03.
     return {
-        # -- no driver record yet (judge-verified exact in round 2) --
-        "kg_mentions": _q_kg_mentions,
-        "kg_edges": _q_kg_edges,
-        "kg_pagerank": _q_kg_pagerank,
-        "kg_edges_canonical": _q_kg_edges_canonical,
-        "kg_triples_embedding": _q_kg_triples_embedding,
-        "canonical_map": _q_canonical_map,
-        "outfit_text": _q_outfit_text,
-        "outfit_page": _q_outfit_page,
-        "minhash_dedup_docs": _q_minhash_dedup_docs,
-        "simhash_pairs_docs": _q_simhash_pairs_docs,
-        "lsh_ann_topk": _q_lsh_ann_topk,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "union_upsert_docs": _q_union_upsert_docs,
-        "top1_per_order": _q_top1_per_order,
-        "related_entities_topk": _q_related_entities_topk,
-        "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
-        "attr_extract_docs": _q_attr_extract_docs,
-        "spec_attrs_docs": _q_spec_attrs_docs,
-        "triangles_parts": _q_triangles_parts,
-        "media_frame_sample": _q_media_frame_sample,
-        "media_image_features": _q_media_image_features,
-        "media_audio_features": _q_media_audio_features,
-        "preprocess_catalog_parts": _q_preprocess_catalog_parts,
-        "label_value_counts_events": _q_label_value_counts_events,
-        # -- code touched in round 3 (re-verify) --
-        "hll_distinct_events": _q_hll_distinct_events,
-        "incremental_dedup_docs": _q_incremental_dedup_docs,
-        "inverted_index_docs": _q_inverted_index_docs,
-        "bm25_topk_docs": _q_bm25_topk_docs,
-        "near_dup_cosine": _q_near_dup_cosine,
-        "near_dup_cosine_lsh": _q_near_dup_cosine_lsh,
-        "pagerank_lineitem": _q_pagerank_lineitem,
-        "token_freq_docs": _q_token_freq_docs,
-        "bigram_counts_docs": _q_bigram_counts_docs,
-        "knn_graph_emb": _q_knn_graph_emb,
-        "semantic_dedup_emb": _q_semantic_dedup_emb,
-        "kmeans_clusters_emb": _q_kmeans_clusters_emb,
-        "ann_topk": _q_ann_topk,
-        "exact_dedup_docs": _q_exact_dedup_docs,
-        "chunk_dedup_docs": _q_chunk_dedup_docs,
-        "training_set_docs": _q_training_set_docs,
-        "curate_docs": _q_curate_docs,
-        "quantiles_events": _q_quantiles_events,
-        "rrf_orders": _q_rrf_orders,
-        "pack_bins_docs": _q_pack_bins_docs,
-        "shuffle_rank_docs": _q_shuffle_rank_docs,
-        "groupby_count": _q_groupby_count,
-        "cooccur_edges": _q_cooccur_edges,
-        "edge_topk_per_node": _q_edge_topk_per_node,
-        "node_merge_lww": _q_node_merge_lww,
-        "anti_join_customers": _q_anti_join_customers,
-        # -- driver-green in round 2, unchanged since --
+        # -- (a) driver row stale (r02) or missing: re-verify first --
+        "source_stats_docs": _q_source_stats_docs,
+        "tumbling_window_events": _q_tumbling_window_events,
+        "hopping_window_events": _q_hopping_window_events,
+        "session_window_events": _q_session_window_events,
+        "asof_join_events": _q_asof_join_events,
+        "band_join_events": _q_band_join_events,
+        "broadcast_join_lineitem": _q_broadcast_join_lineitem,
+        "shuffle_join_orders": _q_shuffle_join_orders,
         "attr_triples_part": _q_attr_triples_part,
         "filter_project_events": _q_filter_project_events,
         "valid_docs": _q_valid_docs,
@@ -1593,17 +1586,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens_docs": _q_top_tokens_docs,
         "decontam_docs": _q_decontam_docs,
         "stratified_sample_docs": _q_stratified_sample_docs,
-        "asof_join_events": _q_asof_join_events,
-        "band_join_events": _q_band_join_events,
         "tfidf_topk_docs": _q_tfidf_topk_docs,
         "json_flatten_events": _q_json_flatten_events,
         "cms_counts_events": _q_cms_counts_events,
-        "tumbling_window_events": _q_tumbling_window_events,
-        "hopping_window_events": _q_hopping_window_events,
-        "session_window_events": _q_session_window_events,
-        "broadcast_join_lineitem": _q_broadcast_join_lineitem,
-        "shuffle_join_orders": _q_shuffle_join_orders,
-        "source_stats_docs": _q_source_stats_docs,
+        # -- (b) code touched in round 4 (re-verify) --
+        "near_dup_cosine": _q_near_dup_cosine,
+        "near_dup_cosine_lsh": _q_near_dup_cosine_lsh,
+        "related_entities_topk": _q_related_entities_topk,
+        "cooccur_edges": _q_cooccur_edges,
+        "edge_topk_per_node": _q_edge_topk_per_node,
+        "node_merge_lww": _q_node_merge_lww,
+        "minhash_dedup_docs": _q_minhash_dedup_docs,
+        "canonical_map": _q_canonical_map,
+        "kg_edges_canonical": _q_kg_edges_canonical,
+        "kg_mentions": _q_kg_mentions,
+        "kg_edges": _q_kg_edges,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_triples_embedding": _q_kg_triples_embedding,
+        "pagerank_lineitem": _q_pagerank_lineitem,
+        "triangles_parts": _q_triangles_parts,
+        "knn_graph_emb": _q_knn_graph_emb,
+        # -- (c) round-3-green fill to the 50-query window --
+        "outfit_text": _q_outfit_text,
+        "outfit_page": _q_outfit_page,
+        "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "union_upsert_docs": _q_union_upsert_docs,
+        "top1_per_order": _q_top1_per_order,
+        "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
+        "attr_extract_docs": _q_attr_extract_docs,
+        # -- round-3-green, beyond the sweep window this round --
+        "spec_attrs_docs": _q_spec_attrs_docs,
+        "media_frame_sample": _q_media_frame_sample,
+        "media_image_features": _q_media_image_features,
+        "media_audio_features": _q_media_audio_features,
+        "preprocess_catalog_parts": _q_preprocess_catalog_parts,
+        "label_value_counts_events": _q_label_value_counts_events,
+        "hll_distinct_events": _q_hll_distinct_events,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "inverted_index_docs": _q_inverted_index_docs,
+        "bm25_topk_docs": _q_bm25_topk_docs,
+        "token_freq_docs": _q_token_freq_docs,
+        "bigram_counts_docs": _q_bigram_counts_docs,
+        "semantic_dedup_emb": _q_semantic_dedup_emb,
+        "kmeans_clusters_emb": _q_kmeans_clusters_emb,
+        "ann_topk": _q_ann_topk,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "chunk_dedup_docs": _q_chunk_dedup_docs,
+        "training_set_docs": _q_training_set_docs,
+        "curate_docs": _q_curate_docs,
+        "quantiles_events": _q_quantiles_events,
+        "rrf_orders": _q_rrf_orders,
+        "pack_bins_docs": _q_pack_bins_docs,
+        "shuffle_rank_docs": _q_shuffle_rank_docs,
+        "groupby_count": _q_groupby_count,
+        "anti_join_customers": _q_anti_join_customers,
     }
 
 

@@ -112,7 +112,8 @@ def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64,
                     collect_evidence: bool = True,
                     bucket_keys: list[str] | None = None,
                     properties: dict | None = None,
-                    source: str | None = None):
+                    source: str | None = None,
+                    pre_filter=None):
     """pairs -> edges: partial combine per batch, then ONE bucketed shuffle
     over the (much smaller) partials with a vectorized per-bucket merge.
 
@@ -127,12 +128,24 @@ def aggregate_edges(pairs_ds, *, batch_size: int = 8192, num_buckets: int = 64,
     into every edge row as constant columns — the reference merges a
     free-form ``metadata`` dict plus a ``source`` tag into edge properties
     (`/root/reference/src/engine/process_social_media_images.py:133-134,
-    179`). Keys colliding with computed columns are rejected."""
+    179`). Keys colliding with computed columns are rejected.
+
+    ``pre_filter`` (Table -> Table) is a key-level predicate pushed BELOW
+    the shuffle: because edge weight for a key depends only on that key's
+    own pair rows, any filter on (src, dst, rel) commutes with the
+    aggregation. A single-node 1-hop query over fresh pairs then ships
+    only the node's own partials through the exchange instead of the
+    whole edge table (the classic predicate-pushdown plan)."""
     keys = bucket_keys or EDGE_KEYS
     if collect_evidence:
         partial_fn, merge_fn = partial_edge_agg, _merge_edges_bucket
     else:
         partial_fn, merge_fn = partial_edge_count, merge_edge_counts
+    if pre_filter is not None:
+        inner_partial = partial_fn
+
+        def partial_fn(batch: pa.Table) -> pa.Table:  # noqa: F811
+            return inner_partial(pre_filter(batch))
     extra = dict(properties or {})
     if source is not None:
         extra["source"] = source
