@@ -317,27 +317,38 @@ def _verify_pairs_shuffle(cand, texts_ds, *, threshold: float,
                          "other": pa.nulls(n, type=pa.string()),
                          "sh": t["sh"]})
 
-    def attach(t: pa.Table, out_cols) -> pa.Table:
-        df = pd.DataFrame({"key": t["key"].to_pandas(),
-                           "kind": t["kind"].to_pandas(),
-                           "other": t["other"].to_pandas(),
-                           "sh": t["sh"].to_pandas()})
-        smap = dict(zip(df.loc[df["kind"] == "S", "key"],
-                        df.loc[df["kind"] == "S", "sh"]))
-        p = df[df["kind"] == "P"]
-        return out_cols(p, smap)
+    def _split_sp(t: pa.Table):
+        """(S rows, P rows) of one mixed bucket."""
+        kind = t["kind"].to_numpy(zero_copy_only=False)
+        return (t.filter(pa.array(kind == "S")),
+                t.filter(pa.array(kind == "P")))
+
+    def _gather_sh(s_tbl: pa.Table, pkeys: np.ndarray):
+        """Vectorized key join: each P key's shingle list from the bucket's
+        S rows via argsort + searchsorted; misses land on an appended
+        empty list (broadcast-path ``smap.get(k, [])`` parity). Returns
+        the gathered Arrow list column — lists never round-trip through
+        Python."""
+        skeys = s_tbl["key"].to_numpy(zero_copy_only=False)
+        order = np.argsort(skeys)
+        sh_sorted = s_tbl["sh"].combine_chunks().take(
+            pa.array(order, type=pa.int64()))
+        sh_all = pa.concat_arrays(
+            [sh_sorted, pa.array([[]], type=sh_sorted.type)])
+        ns = len(skeys)
+        if ns == 0:
+            idx = np.zeros(len(pkeys), dtype=np.int64)
+        else:
+            pos = np.searchsorted(skeys[order], pkeys)
+            posc = np.clip(pos, 0, ns - 1)
+            idx = np.where(skeys[order][posc] == pkeys, posc, ns)
+        return sh_all.take(pa.array(idx, type=pa.int64()))
 
     def attach_a(t: pa.Table) -> pa.Table:
-        def out(p, smap):
-            return pa.table({
-                "a": pa.array(p["key"].tolist(), type=pa.string()),
-                "b": pa.array(p["other"].tolist(), type=pa.string()),
-                "sh_a": pa.array([np.asarray(smap.get(k, []),
-                                             dtype=np.uint64).tolist()
-                                  for k in p["key"]],
-                                 type=pa.list_(pa.uint64())),
-            })
-        return attach(t, out)
+        s_tbl, p_tbl = _split_sp(t)
+        pkeys = p_tbl["key"].to_numpy(zero_copy_only=False)
+        return pa.table({"a": p_tbl["key"], "b": p_tbl["other"],
+                         "sh_a": _gather_sh(s_tbl, pkeys)})
 
     step_a = bucketed_group_apply(
         cand.map_batches(lambda t: pa.table(
@@ -348,28 +359,33 @@ def _verify_pairs_shuffle(cand, texts_ds, *, threshold: float,
         ["key"], attach_a, num_buckets=num_buckets)
 
     def attach_b_verify(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"key": t["key"].to_pandas(),
-                           "kind": t["kind"].to_pandas(),
-                           "other": t["other"].to_pandas(),
-                           "sh": t["sh"].to_pandas()})
-        smap = dict(zip(df.loc[df["kind"] == "S", "key"],
-                        df.loc[df["kind"] == "S", "sh"]))
-        p = df[df["kind"] == "P"]
-        a_out, b_out = [], []
-        for b_id, a_id, sh_a in zip(p["key"], p["other"], p["sh"]):
-            sa = np.asarray(sh_a, dtype=np.uint64)
-            sb = np.asarray(smap.get(b_id, []), dtype=np.uint64)
-            la, lb = sa.size, sb.size
-            if la == 0 and lb == 0:
-                a_out.append(a_id); b_out.append(b_id)
-                continue
-            if min(la, lb) < threshold * max(la, lb):  # size prune
-                continue
+        s_tbl, p_tbl = _split_sp(t)
+        bkeys = p_tbl["key"].to_numpy(zero_copy_only=False)
+        sh_a = p_tbl["sh"].combine_chunks()
+        sh_b = _gather_sh(s_tbl, bkeys)
+        # list columns as (offsets, values) — slices below are zero-copy
+        off_a = sh_a.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        val_a = sh_a.values.to_numpy(zero_copy_only=False)
+        off_b = sh_b.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        val_b = sh_b.values.to_numpy(zero_copy_only=False)
+        la = np.diff(off_a)
+        lb = np.diff(off_b)
+        # vectorized size prune; both-empty pairs pass outright
+        both_empty = (la == 0) & (lb == 0)
+        cand_m = ~both_empty & (np.minimum(la, lb)
+                                >= threshold * np.maximum(la, lb))
+        keep = both_empty.copy()
+        # per-surviving-pair exact intersect (intrinsic to exact Jaccard;
+        # everything around it is vectorized)
+        for i in np.nonzero(cand_m)[0]:
+            sa = val_a[off_a[i]:off_a[i + 1]]
+            sb = val_b[off_b[i]:off_b[i + 1]]
             inter = np.intersect1d(sa, sb, assume_unique=True).size
-            if inter / (la + lb - inter) >= threshold:
-                a_out.append(a_id); b_out.append(b_id)
-        return pa.table({"a": pa.array(a_out, type=pa.string()),
-                         "b": pa.array(b_out, type=pa.string())})
+            if inter / (la[i] + lb[i] - inter) >= threshold:
+                keep[i] = True
+        kept = p_tbl.filter(pa.array(keep))
+        return pa.table({"a": kept["other"].cast(pa.string()),
+                         "b": kept["key"].cast(pa.string())})
 
     step_b_in = step_a.map_batches(
         lambda t: pa.table(

@@ -169,7 +169,12 @@ def _pagerank_partitioned(edges, nodes, degs, n, d, iters, scale,
     _empty_contrib = pa.table({"dst": pa.array([], type=pa.int64()),
                                "contrib": pa.array([], type=pa.int64())})
 
-    def _split_by(tbl: pa.Table, key: str) -> tuple:
+    def _split_by(tbl: pa.Table, key: str):
+        # B == 1: return the bare table — with num_returns=1 Ray hands the
+        # remote fn's single return value through unchanged, so a 1-tuple
+        # here would reach concat/_apply as a tuple instead of a table
+        if B == 1:
+            return tbl
         t = add_bucket_column(tbl, [key], B, use_polars=up)
         bc = t[BUCKET_COL].to_numpy(zero_copy_only=False)
         t = t.drop_columns([BUCKET_COL])
@@ -218,7 +223,8 @@ def _pagerank_partitioned(edges, nodes, degs, n, d, iters, scale,
         import pandas as pd
 
         if edge_t.num_rows == 0 or state_t.num_rows == 0:
-            return tuple(_empty_contrib for _ in range(B))
+            return _empty_contrib if B == 1 \
+                else tuple(_empty_contrib for _ in range(B))
         sid = state_t["id"].to_numpy(zero_copy_only=False)  # sorted
         sdeg = state_t["deg"].to_numpy(zero_copy_only=False)
         srank = state_t["rank"].to_numpy(zero_copy_only=False)

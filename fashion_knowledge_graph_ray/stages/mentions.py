@@ -128,6 +128,19 @@ _ASCII_WORD = tuple(bool(re.match(r"\w", chr(c))) for c in range(128))
 _WORD_RE = re.compile(r"\w")
 
 
+def _simple_lower(s: str) -> str:
+    """re.IGNORECASE's SIMPLE per-codepoint lowering. Identical to
+    ``str.lower()`` except U+0130 'İ' (the only codepoint whose full
+    lowercase is multi-char: 'i'+U+0307, where the simple mapping — and
+    therefore ``re.IGNORECASE`` — uses plain 'i'). Gazetteer keys are
+    built with full lower on ORIGINAL taxonomy surfaces (never containing
+    a combining-dot artifact), so simple-lowered match text is the
+    correct lookup key on the rare-Unicode ci path."""
+    if "İ" in s:
+        s = s.replace("İ", "i")
+    return s.lower()
+
+
 def _is_word(ch: str) -> bool:
     o = ord(ch)
     return _ASCII_WORD[o] if o < 128 else bool(_WORD_RE.match(ch))
@@ -168,7 +181,13 @@ class TrieScanner:
     2.9 — the trade is per-actor startup for a bounded scan slowdown).
     ``casefold=True`` walks the ORIGINAL text lowering characters on the
     fly (the rare length-changing-Unicode fallback, mirroring
-    ``compile_pattern_ci``); spans always index the scanned string."""
+    ``compile_pattern_ci``); spans always index the scanned string.
+    The fold is re.IGNORECASE's SIMPLE per-codepoint lowering, not
+    ``str.lower()``'s full mapping: the two differ only at U+0130 'İ'
+    (full: 'i'+U+0307, simple: 'i' — probed against this interpreter's
+    ``re``), and using the full mapping here made the two ci regimes
+    diverge on exactly the length-changing path the fallback exists
+    for."""
 
     __slots__ = ("root", "casefold")
 
@@ -193,31 +212,29 @@ class TrieScanner:
             return _is_word(text[n - 1])
         return _is_word(text[i - 1]) != _is_word(text[i])
 
+    _fold = staticmethod(_simple_lower)
+
     def finditer(self, text: str):
         root = self.root
         bound = self._bound
         fold = self.casefold
+        _fold = self._fold
         n = len(text)
         i = 0
         while i < n:
-            first = text[i].lower() if fold else text[i]
-            if (first[:1] not in root) or not bound(text, i):
+            first = _fold(text[i]) if fold else text[i]
+            if (first not in root) or not bound(text, i):
                 i += 1
                 continue
             d = root
             j = i
             best = -1
             while j < n:
-                chs = text[j].lower() if fold else text[j]
-                ok = True
-                for ch in chs:  # len>1 only under casefold expansion
-                    nxt = d.get(ch)
-                    if nxt is None:
-                        ok = False
-                        break
-                    d = nxt
-                if not ok:
+                ch = _fold(text[j]) if fold else text[j]
+                nxt = d.get(ch)
+                if nxt is None:
                     break
+                d = nxt
                 j += 1
                 if "" in d and bound(text, j):
                     best = j
@@ -260,7 +277,10 @@ def detect_in_text(text: str, url: str, pattern: "re.Pattern | TrieScanner",
     found: dict[str, dict] = {}
     order: list[str] = []
     for m in it:
-        form = m.group(0).lower()
+        # simple lowering, matching how the ci regimes matched: full
+        # .lower() on a matched 'İ...' would produce a combining-dot key
+        # absent from the gazetteer (KeyError on the rare-Unicode path)
+        form = _simple_lower(m.group(0))
         if form in found:
             found[form]["n_hits"] += 1
             continue

@@ -169,3 +169,15 @@ def test_pagerank_zero_weight_source_no_divide(ray_session):
             acc[v] += (rank[u] * 85 * w) // (100 * W[u])
         rank = {i: base + acc[i] for i in ids}
     assert ranks == rank
+
+
+def test_pagerank_partitioned_single_bucket(ray_session):
+    # advisor finding: num_buckets=1 in the partitioned regime used to
+    # hand 1-tuples of tables through num_returns=1 remotes — concat and
+    # _apply then received tuples instead of tables. The B==1 unwrap in
+    # _split_by must keep the regime exact.
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (1, 2), (3, 7)]
+    exp = _seq_pagerank(edges)
+    out = pagerank(_edges_ds(edges), iters=10, num_buckets=1,
+                   max_broadcast_nodes=0).to_pandas()
+    assert dict(zip(out["id"], out["rank"])) == exp

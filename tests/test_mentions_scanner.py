@@ -114,3 +114,46 @@ def test_large_gazetteer_uses_scanner_and_detects():
     assert [r["form"] for r in recs] == ["brandword000123",
                                         "brandword009999"]
     assert recs[0]["n_hits"] == 2
+
+
+def test_scanner_ci_matches_regex_ignorecase():
+    # advisor finding: the ci regimes must agree on the length-changing
+    # Unicode path they exist for. TrieScanner(casefold=True) folds with
+    # re.IGNORECASE's SIMPLE lowering (U+0130 'İ' -> 'i'), not
+    # str.lower()'s full mapping ('i'+U+0307), so both regimes see the
+    # same matches on the same ORIGINAL-text spans.
+    from fashion_knowledge_graph_ray.stages.mentions import compile_pattern_ci
+
+    forms = ["istanbul", "belt", "straße", "scarf"]
+    ci_re = compile_pattern_ci(forms)
+    ci_sc = TrieScanner(forms, casefold=True)
+    texts = [
+        "İstanbul BELT",               # U+0130: len(text.lower()) != len(text)
+        "ISTANBUL and istanbul",
+        "STRAẞE Scarf",                # ẞ lowers in place
+        "xİstanbulx İstanbul",         # boundaries around the fold
+        "",
+    ]
+    for t in texts:
+        assert _spans(ci_sc.finditer(t)) == _spans(ci_re.finditer(t)), t
+
+
+def test_detect_in_text_ci_fallback_gate_crossing():
+    # the full detect path through BOTH ci regimes on a length-changing
+    # text (detect_in_text routes to ci_pattern exactly then)
+    from fashion_knowledge_graph_ray.stages.mentions import compile_pattern_ci
+
+    tax = pa.table({
+        "entity_id": ["e1", "e2"],
+        "surface": ["istanbul shawl", "belt"],
+        "aliases": [["istanbul"], []],
+        "category": ["shawl", "belt"],
+    })
+    gaz = build_gazetteer(tax)
+    text = "İstanbul shawl with a BELT"
+    assert len(text.lower()) != len(text)  # exercises the ci fallback
+    a = detect_in_text(text, "u", compile_pattern(gaz.keys()), gaz,
+                       ci_pattern=compile_pattern_ci(gaz.keys()))
+    b = detect_in_text(text, "u", TrieScanner(gaz.keys()), gaz,
+                       ci_pattern=TrieScanner(gaz.keys(), casefold=True))
+    assert a == b and len(a) == 2
