@@ -139,6 +139,7 @@ def taxonomy_embeddings_table(taxonomy: pa.Table) -> pa.Table:
     as a parquet table so the query layer loads the index instead of
     re-embedding per call."""
     from ..functions.vectors import hash_embed, style_embed
+    from ..stages.linker import matrix_to_list_array
 
     surfaces = taxonomy["surface"].to_pylist()
     emb = hash_embed(surfaces)
@@ -148,10 +149,8 @@ def taxonomy_embeddings_table(taxonomy: pa.Table) -> pa.Table:
             "entity_id": taxonomy["entity_id"],
             "surface": taxonomy["surface"],
             "category": taxonomy["category"],
-            "embedding": pa.array([v.tolist() for v in emb],
-                                  type=pa.list_(pa.float32())),
-            "style_embedding": pa.array([v.tolist() for v in semb],
-                                        type=pa.list_(pa.float32())),
+            "embedding": matrix_to_list_array(emb, pa.float32()),
+            "style_embedding": matrix_to_list_array(semb, pa.float32()),
         },
         schema=EMBEDDINGS_SCHEMA,
     )
@@ -214,7 +213,7 @@ def resolve_pool_sizes(concurrency=None) -> int:
 
 def build_linked(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",
                  single_product_mode: bool = False, dedup: bool = True,
-                 concurrency=None):
+                 concurrency=None, prebuilt_index: dict | None = None):
     """pages -> linked page-mentions Dataset (the narrow one-pass chain).
 
     ``concurrency``: None (recommended) auto-sizes the fused enrichment
@@ -243,9 +242,11 @@ def build_linked(pages_ds, taxonomy_ref, *, link_mode: str = "embedding",
 
         from ..stages.linker import EmbeddingLinker
 
-        tax = taxonomy_ref if isinstance(taxonomy_ref, pa.Table) \
-            else ray.get(taxonomy_ref)
-        idx = EmbeddingLinker.build_index(tax)
+        idx = prebuilt_index
+        if idx is None:
+            tax = taxonomy_ref if isinstance(taxonomy_ref, pa.Table) \
+                else ray.get(taxonomy_ref)
+            idx = EmbeddingLinker.build_index(tax)
         link_kw["index_ref"] = ray.put(idx) if ray.is_initialized() else idx
     ds = enrich_pages(pages_ds, taxonomy_ref, link_mode=link_mode,
                       single_product_mode=single_product_mode,
@@ -287,9 +288,19 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
     for p in paths.values():
         shutil.rmtree(p, ignore_errors=True)
 
+    # the taxonomy embeds ONCE per build: this idx feeds the actor-pool
+    # broadcast (build_linked) AND the persisted index/ artifact
+    # (_embeddings), instead of each path re-running build_index
+    prebuilt_index = None
+    if link_mode == "embedding":
+        from ..stages.linker import EmbeddingLinker
+
+        prebuilt_index = EmbeddingLinker.build_index(taxonomy)
+
     linked = build_linked(pages_ds, tax_ref, link_mode=link_mode,
                           single_product_mode=single_product_mode,
-                          dedup=dedup, concurrency=concurrency)
+                          dedup=dedup, concurrency=concurrency,
+                          prebuilt_index=prebuilt_index)
     if canonicalize:
         from ..stages.canonicalize import (
             apply_canonical_map,
@@ -332,7 +343,7 @@ def build_graph(pages_ds, taxonomy: pa.Table, out_dir: str, *,
         idx_dir = os.path.join(out_dir, "index")
         shutil.rmtree(idx_dir, ignore_errors=True)
         os.makedirs(idx_dir, exist_ok=True)
-        pq.write_table(linker_index_table(taxonomy),
+        pq.write_table(linker_index_table(taxonomy, idx=prebuilt_index),
                        os.path.join(idx_dir, "part-0.parquet"))
 
     import concurrent.futures as cf

@@ -46,7 +46,10 @@ def read_json_metadata(path: str, *, index_col: str = "index"):
 
 def read_path_list(path: str):
     """S3: text file of paths, one per line, stripped; blank lines dropped.
-    ``read_text`` keeps this a streaming read at any file size."""
+    ``read_text`` keeps this a streaming read at any file size. Row order
+    follows Ray block completion order, NOT file order — callers that
+    need a deterministic order should sort (the reference consumes the
+    list as an unordered work queue)."""
     import ray.data as rd
 
     ds = rd.read_text(path)

@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.vectors import DEFAULT_DIM, cosine_topk, hash_embed
+from ..functions.vectors import DEFAULT_DIM, cosine_top1, hash_embed
 from ..vocab import LINK_SIMILARITY_THRESHOLD, UNKNOWN
 from .attributes import attrs_batch  # noqa: F401  (pipeline composes these)
 
@@ -132,6 +132,22 @@ class EmbeddingLinker:
         self._unisex = self._gen_code.get("unisex", -3)
         self.index = idx["matrix"]
         self.dim = idx["dim"]
+        # category-partitioned view of the index: a labeled query's mask
+        # requires category == label, so its candidates live entirely in
+        # one category slice — searching the slice instead of the full
+        # matrix cuts the per-batch (q, n) sims/mask from n = |taxonomy|
+        # to n = |category| (the web-scale-gazetteer fix; at 250k
+        # entities the dense full-matrix path was ~0.5 s per PAGE).
+        # kind="stable" keeps original index order inside each slice, so
+        # lowest-index tie-breaks match the full-matrix path exactly.
+        order = np.argsort(self.cat, kind="stable")
+        self._cat_order = order
+        cat_sorted = self.cat[order]
+        self._cat_lo = np.searchsorted(cat_sorted, np.arange(
+            len(self._cat_code) + 1, dtype=np.int32))
+        self._index_by_cat = self.index[order]
+        self._gen_by_cat = self.gen[order]
+        self._col_by_cat = self.col[order]
 
     @classmethod
     def from_index_table(cls, tbl: pa.Table, *, top_k: int = 5,
@@ -181,24 +197,63 @@ class EmbeddingLinker:
         g)``, ``color == c`` (skipped if c empty/unknown) — then cosine
         top-k, take top-1, accept iff score >= threshold.
 
-        Surfaces repeat heavily (the mention vocabulary is
-        taxonomy-bounded), so only UNIQUE surfaces are embedded and the
-        rows are gathered back — a measured multiple on the hot
-        per-mention embedding cost."""
+        Two batch-size reducers, both result-identical to the naive
+        per-mention dense path (equivalence-tested):
+
+        - whole-QUERY dedup on (surface, label, gender, color): mention
+          tuples repeat heavily (the vocabulary is gazetteer-bounded), so
+          the masked search runs once per distinct tuple, not per mention;
+        - per-CATEGORY search: a labeled query's candidates live entirely
+          in one category slice of the index (mask requires category ==
+          label), so the sims/mask matrices are (q_cat, |category|) not
+          (q, |taxonomy|). Unlabeled queries (label missing) keep the
+          full-matrix path.
+
+        At web-scale gazetteers (250k entities) the naive path built a
+        ~12 GB dense mask per 500-page batch; this shape is what survives
+        100 TB."""
         uniq, inv = np.unique(np.asarray(surfaces, dtype=object),
                               return_inverse=True)
-        q = hash_embed(uniq.tolist(), dim=self.dim)[inv]
         lab = self._codes(labels, self._cat_code, missing=-1)
         g = self._codes(genders, self._gen_code, missing=-2)
         c = np.asarray(
             [-1 if (not v or v == UNKNOWN) else self._col_code.get(v, -2)
              for v in colors], dtype=np.int32)
-        mask = (lab[:, None] == -1) | (self.cat[None, :] == lab[:, None])
-        mask &= (self.gen[None, :] == self._unisex) | \
-                (self.gen[None, :] == g[:, None])
-        mask &= (c[:, None] == -1) | (self.col[None, :] == c[:, None])
-        scores, idx = cosine_topk(q, self.index, self.top_k, mask=mask)
-        top_scores, top_idx = scores[:, 0], idx[:, 0]
+        keys = np.stack([inv.astype(np.int64), lab.astype(np.int64),
+                         g.astype(np.int64), c.astype(np.int64)], axis=1)
+        ukeys, kinv = np.unique(keys, axis=0, return_inverse=True)
+        kinv = kinv.reshape(-1)  # numpy 2.x keeps an (n, 1) axis here
+        uq = hash_embed(uniq.tolist(), dim=self.dim)[ukeys[:, 0]]
+        ulab = ukeys[:, 1].astype(np.int32)
+        ug = ukeys[:, 2].astype(np.int32)
+        uc = ukeys[:, 3].astype(np.int32)
+        m = len(ukeys)
+        u_scores = np.full(m, -np.inf, dtype=np.float32)
+        u_idx = np.zeros(m, dtype=np.int64)
+        for lv in np.unique(ulab):
+            sel = np.nonzero(ulab == lv)[0]
+            if lv == -2:
+                continue  # unseen label: category == label never holds
+            if lv == -1:  # no label: full-matrix search (rare)
+                sub_index, sub_gen, sub_col = self.index, self.gen, self.col
+                back = None
+            else:
+                lo, hi = self._cat_lo[lv], self._cat_lo[lv + 1]
+                if hi == lo:
+                    continue
+                sub_index = self._index_by_cat[lo:hi]
+                sub_gen = self._gen_by_cat[lo:hi]
+                sub_col = self._col_by_cat[lo:hi]
+                back = self._cat_order[lo:hi]
+            mask = (sub_gen[None, :] == self._unisex) | \
+                   (sub_gen[None, :] == ug[sel][:, None])
+            mask &= (uc[sel][:, None] == -1) | \
+                    (sub_col[None, :] == uc[sel][:, None])
+            scores, idx = cosine_top1(uq[sel], sub_index, mask=mask)
+            u_scores[sel] = scores
+            u_idx[sel] = idx if back is None else back[idx]
+        top_scores = u_scores[kinv]
+        top_idx = u_idx[kinv]
         ok = np.isfinite(top_scores) & (top_scores >= self.threshold)
         return ok, top_scores, self.entity_id[top_idx]
 
@@ -245,20 +300,38 @@ def _rebuild_flat(batch: pa.Table, list_arr, vals, ent: pa.Array,
     return rewrap_mentions(batch, list_arr, new_vals)
 
 
-def linker_index_table(tax: pa.Table, *, dim: int = DEFAULT_DIM) -> pa.Table:
+def matrix_to_list_array(mat: np.ndarray, value_type=None) -> pa.ListArray:
+    """(n, d) numpy -> Arrow list column without a per-row ``.tolist()``
+    loop: one flat cast + constant-stride offsets. At web-scale gazetteer
+    sizes (250k x 256) the per-row loop was a measured multi-second slice
+    of the index persist."""
+    n, d = mat.shape
+    flat = mat.reshape(-1)
+    if value_type is not None:
+        flat = flat.astype(value_type.to_pandas_dtype(), copy=False)
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                       type=pa.int32())
+    return pa.ListArray.from_arrays(offsets, pa.array(flat))
+
+
+def linker_index_table(tax: pa.Table, *, dim: int = DEFAULT_DIM,
+                       idx: dict | None = None) -> pa.Table:
     """The persisted form of the linker's ANN index (K6 analog — the
     reference stores it in Pinecone, setup_pinecone.py:22-72): entity
     ids, the raw filter-label columns (codes rebuild deterministically),
     and the surface-embedding rows. ``EmbeddingLinker.from_index_table``
-    round-trips it."""
-    idx = EmbeddingLinker.build_index(tax, dim=dim)
+    round-trips it. Pass the already-built ``idx`` dict (the broadcast
+    artifact) to skip re-embedding the taxonomy."""
+    if idx is None:
+        idx = EmbeddingLinker.build_index(tax, dim=dim)
     return pa.table({
         "entity_id": pa.array(idx["entity_id"].tolist(), type=pa.string()),
         "category": tax["category"],
         "gender": tax["gender"],
         "color": tax["color"],
-        "embedding": pa.array([r.tolist() for r in idx["matrix"]],
-                              type=pa.list_(pa.float64())),
+        # float32 -> float64 is exact, matching the documented
+        # "exact float64 copies" round-trip contract in from_index_table
+        "embedding": matrix_to_list_array(idx["matrix"], pa.float64()),
     })
 
 

@@ -1,0 +1,119 @@
+"""Web-scale gazetteer regime: TrieScanner above AC_FORM_GATE in real use.
+
+Round-3 verdict item #6: the automaton regime existed and was
+equivalence-tested on synthetic strings, but had never been exercised by
+a BUILD whose taxonomy crosses the gate. These tests (a) assert
+hit-parity between the two regimes at the gate boundary through the real
+MentionDetector, and (b) run build_graph end-to-end over a >gate
+taxonomy (env-gated: FKGR_RUN_SLOW=1 — ~2-4 min) asserting the triples
+are identical to the regex regime's on the same input. Throughput of the
+scanner regime is recorded in BASELINE.md.
+"""
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pytest
+
+from fashion_knowledge_graph_ray.datagen import gen_taxonomy
+from fashion_knowledge_graph_ray.stages import mentions as M
+
+
+def _filler_taxonomy(n_filler: int) -> pa.Table:
+    """n_filler entities with 2 forms each; forms never occur in pages
+    (distinct 'zq…' tokens), so hits are identical to the base taxonomy's
+    while the matcher walks a web-scale form set."""
+    ids = [f"fill-{i:07d}" for i in range(n_filler)]
+    return pa.table({
+        "entity_id": ids,
+        "surface": [f"zq{i:07d} xfiller" for i in range(n_filler)],
+        "aliases": pa.array([[f"zq{i:07d} xalt"] for i in range(n_filler)],
+                            type=pa.list_(pa.string())),
+        "category": ["top"] * n_filler,
+        "gender": ["unisex"] * n_filler,
+        "color": ["black"] * n_filler,
+        "material": pa.array([["cotton"]] * n_filler,
+                             type=pa.list_(pa.string())),
+        "style": pa.array([["casual"]] * n_filler,
+                          type=pa.list_(pa.string())),
+    })
+
+
+def _big_taxonomy(n_filler: int) -> pa.Table:
+    return pa.concat_tables([gen_taxonomy(42), _filler_taxonomy(n_filler)])
+
+
+def _texts() -> list[str]:
+    # real taxonomy forms (incl. alias/typo variants), fillers, noise
+    base = gen_taxonomy(42)
+    surf = base["surface"].to_pylist()
+    ali = [a for al in base["aliases"].to_pylist() for a in (al or [])]
+    txts = [
+        f"A look with {surf[0]} and {surf[21]} over {ali[0]}.",
+        f"{surf[3].upper()} pairs with {surf[104]} — {surf[3]} again.",
+        "zq0000001 xfiller appears verbatim here.",   # a filler form HITS
+        "zq9999999 nothing, plain text without products.",
+        " ".join(surf[:40]),
+        f"punctuated: {surf[7]},{surf[8]};{ali[3]}.",
+        "",
+    ]
+    return txts
+
+
+def _batch(texts: list[str]) -> pa.Table:
+    n = len(texts)
+    return pa.table({
+        "url": [f"https://x.test/{i}" for i in range(n)],
+        "warc_ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                            type=pa.timestamp("us", tz="UTC")),
+        "text": texts,
+        "lang": ["en"] * n,
+    })
+
+
+def test_gate_boundary_parity(monkeypatch):
+    # 105_700 filler forms x 2 + 700 base forms = 211_900 > AC_FORM_GATE:
+    # the detector must pick the automaton; with the gate lifted the SAME
+    # taxonomy compiles the regex — mention rows must be identical.
+    tax = _big_taxonomy(105_600)
+    det_auto = M.MentionDetector(tax)
+    assert isinstance(det_auto.pattern, M.TrieScanner)
+    assert isinstance(det_auto.ci_pattern, M.TrieScanner)
+    monkeypatch.setattr(M, "AC_FORM_GATE", 10 ** 9)
+    det_re = M.MentionDetector(tax)
+    assert not isinstance(det_re.pattern, M.TrieScanner)
+    batch = _batch(_texts())
+    out_a = det_auto(batch)
+    out_r = det_re(batch)
+    assert out_a.equals(out_r)
+    # sanity: the planted filler form and base forms were both detected
+    flat = [m["form"] for row in out_a["mentions"].to_pylist() for m in row]
+    assert "zq0000001 xfiller" in flat and len(flat) > 40
+
+
+@pytest.mark.skipif(os.environ.get("FKGR_RUN_SLOW") != "1",
+                    reason="web-scale end-to-end build; FKGR_RUN_SLOW=1")
+def test_webscale_build_end_to_end(ray_session, fixture_dir, tmp_path,
+                                   monkeypatch):
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.pipelines.build_graph import build_graph
+
+    tax = _big_taxonomy(250_000)  # 500,700 forms
+    pages = rd.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    res_auto = build_graph(pages, tax, str(tmp_path / "auto"),
+                           link_mode="embedding", concurrency=2)
+    monkeypatch.setattr(M, "AC_FORM_GATE", 10 ** 9)
+    res_re = build_graph(pages, tax, str(tmp_path / "re"),
+                         link_mode="embedding", concurrency=2)
+
+    import pyarrow.parquet as pq
+
+    def triples(path):
+        t = pq.read_table(path)
+        return t.sort_by([(c, "ascending") for c in sorted(t.column_names)])
+
+    ta, tr = triples(res_auto.triples_path), triples(res_re.triples_path)
+    assert ta.num_rows == tr.num_rows > 0
+    assert ta.equals(tr)
