@@ -28,6 +28,8 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from fashion_knowledge_graph_ray.functions.vectors import list_to_matrix
+
 EPOCH_2025 = 1_735_689_600_000_000
 
 
@@ -1024,8 +1026,7 @@ def _embedding_queries(sf_dir: str):
     mask = [v < 5 for v in t["vec_id"].to_pylist()]
     q = t.filter(pa.array(mask))
     qids = q["vec_id"].to_pylist()
-    qm = np.stack([np.asarray(v, dtype=np.float64)
-                   for v in q["embedding"].to_pylist()])
+    qm = list_to_matrix(q["embedding"])
     return qids, qm
 
 
@@ -1787,8 +1788,7 @@ def _ann_corpus_seq():
 
     t = pq.read_table(_ORACLE_SF_DIR + "/embeddings.parquet")
     ids = np.asarray(t["vec_id"].to_pylist())
-    mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                               for v in t["embedding"].to_pylist()]))
+    mat = _normalize(list_to_matrix(t["embedding"]))
     qids, qm_raw = _embedding_queries(_ORACLE_SF_DIR)
     return ids, mat, qids, _normalize(qm_raw)
 
@@ -1974,8 +1974,7 @@ def _kmeans_expected_values() -> tuple:
     t = pq.read_table(_ORACLE_SF_DIR + "/embeddings.parquet",
                       columns=["vec_id", "embedding"])
     ids = t["vec_id"].to_pylist()
-    mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                               for v in t["embedding"].to_pylist()]))
+    mat = _normalize(list_to_matrix(t["embedding"]))
     cent = _spherical_kmeans(mat[:4096], 8, seed=42)
     rows = []
     for i, vid in enumerate(ids):

@@ -168,6 +168,34 @@ def cosine_top1(queries: np.ndarray, index: np.ndarray,
     return np.take_along_axis(sims, idx[:, None], axis=1)[:, 0], idx
 
 
+def list_to_matrix(col, dtype=np.float64) -> np.ndarray:
+    """Arrow ``list<float>`` column (Array or ChunkedArray) -> (n, d)
+    numpy matrix via ONE flat-values cast + reshape — no per-row Python
+    lists. Exactly equal to ``np.stack([np.asarray(v, dtype) for v in
+    col.to_pylist()])`` on rectangular non-null input (float32->float64
+    widening is exact in both paths); raises on ragged or null rows so a
+    bad schema fails loudly instead of mis-shaping. This conversion ran
+    per batch in every embedding-column stage (ANN, kNN-graph, near-dup,
+    SemDeDup, k-means) and was a measured slice of each."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if col.null_count:
+        raise ValueError("null rows in embedding column")
+    lens = pc.list_value_length(col).to_numpy()
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError("ragged embedding column")
+    flat = pc.list_flatten(col)
+    return flat.to_numpy(zero_copy_only=False) \
+               .astype(dtype, copy=False).reshape(n, d)
+
+
 def cosine_sim_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise cosine of two equal-shape (k, d) matrices (both normalized)."""
     return np.einsum("ij,ij->i", a, b)

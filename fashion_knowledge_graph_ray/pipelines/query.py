@@ -155,8 +155,9 @@ def style_query_rewrite(query: str) -> str:
 
 
 def _matrix(tbl: pa.Table, col: str) -> np.ndarray:
-    return np.stack([np.asarray(v, dtype=np.float32)
-                     for v in tbl[col].to_pylist()])
+    from ..functions.vectors import list_to_matrix
+
+    return list_to_matrix(tbl[col], dtype=np.float32)
 
 
 def outfit_from_text(query: str, embeddings_tbl: pa.Table, *,

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.vectors import list_to_matrix
 from .bucketed import bucketed_group_apply
 
 
@@ -76,8 +77,7 @@ def brute_force_topk(ds, queries: np.ndarray, k: int, *,
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qm_ = ray.get(ref) if not isinstance(ref, tuple) else ref
         ids = np.asarray(batch[id_col].to_pylist())
-        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                   for v in batch[emb_col].to_pylist()]))
+        mat = _normalize(list_to_matrix(batch[emb_col]))
         sims = qm_ @ mat.T  # (q, n)
         kk = min(k, sims.shape[1])
         order = np.lexsort((np.broadcast_to(ids, sims.shape), -sims), axis=1)
@@ -164,8 +164,7 @@ def ivf_topk(ds, queries: np.ndarray, k: int, *,
         qids_, qm_, cent_, probes_ = (ray.get(ref)
                                       if not isinstance(ref, tuple) else ref)
         ids = np.asarray(batch[id_col].to_pylist())
-        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                   for v in batch[emb_col].to_pylist()]))
+        mat = _normalize(list_to_matrix(batch[emb_col]))
         vc = np.argmax(mat @ cent_.T, axis=1)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids_)):
@@ -257,8 +256,7 @@ def lsh_bucketed_topk(ds, queries: np.ndarray, k: int, *,
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qm_, probes_ = ray.get(ref) if not isinstance(ref, tuple) else ref
         ids = np.asarray(batch[id_col].to_pylist())
-        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                   for v in batch[emb_col].to_pylist()]))
+        mat = _normalize(list_to_matrix(batch[emb_col]))
         vb = _bucket_of(mat, planes)
         out_q, out_v, out_s = [], [], []
         for qi in range(len(qids_)):
@@ -332,14 +330,14 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
     ds = ds.materialize()
     n = ds.count()
     if n <= max_broadcast:
-        ids_all, vecs = [], []
+        ids_all, mats = [], []
         for b in ds.select_columns([id_col, emb_col]) \
                    .iter_batches(batch_format="pyarrow"):
             ids_all.extend(b[id_col].to_pylist())
-            vecs.extend(np.asarray(v, dtype=np.float64)
-                        for v in b[emb_col].to_pylist())
+            if b.num_rows:
+                mats.append(list_to_matrix(b[emb_col]))
         corpus_ids = np.asarray(ids_all)
-        corpus = _normalize(np.stack(vecs)) if vecs else np.zeros((0, 1))
+        corpus = _normalize(np.vstack(mats)) if mats else np.zeros((0, 1))
         ref = ray.put((corpus_ids, corpus)) if ray.is_initialized() \
             else (corpus_ids, corpus)
 
@@ -351,8 +349,7 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
         def exact(batch: pa.Table) -> pa.Table:
             cids, cmat = ray.get(ref) if not isinstance(ref, tuple) else ref
             ids = np.asarray(batch[id_col].to_pylist())
-            mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                       for v in batch[emb_col].to_pylist()]))
+            mat = _normalize(list_to_matrix(batch[emb_col]))
             b = len(ids)
             ncand = len(cids)
             kk = min(k, ncand - 1) if ncand > 1 else 0
@@ -416,8 +413,7 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
         c = cent_ref if isinstance(cent_ref, np.ndarray) \
             else ray.get(cent_ref)
         ids = batch[id_col].to_pylist()
-        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                   for v in batch[emb_col].to_pylist()]))
+        mat = _normalize(list_to_matrix(batch[emb_col]))
         sims = mat @ c.T
         own = np.argmax(sims, axis=1)
         probes = np.argsort(-sims, axis=1)[:, :min(nprobe, c.shape[0])]
@@ -442,7 +438,7 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
     def cell_topk(t: pa.Table) -> pa.Table:
         role = t["role"].to_numpy(zero_copy_only=False)
         ids = np.asarray(t[id_col].to_pylist())
-        mat = np.stack([np.asarray(v) for v in t[emb_col].to_pylist()])
+        mat = list_to_matrix(t[emb_col])
         m_ids, m_mat = ids[role == 0], mat[role == 0]
         q_ids, q_mat = ids[role == 1], mat[role == 1]
         out_s, out_d, out_sc = [], [], []
@@ -510,8 +506,7 @@ def semantic_dedup(ds, threshold: float, ncentroids: int, *,
 
     def assign(batch: pa.Table) -> pa.Table:
         c = ref if isinstance(ref, np.ndarray) else ray.get(ref)
-        mat = _normalize(np.stack([np.asarray(v, dtype=np.float64)
-                                   for v in batch[emb_col].to_pylist()]))
+        mat = _normalize(list_to_matrix(batch[emb_col]))
         cl = np.argmax(mat @ c.T, axis=1)
         return pa.table({
             id_col: batch[id_col],
@@ -522,7 +517,7 @@ def semantic_dedup(ds, threshold: float, ncentroids: int, *,
 
     def dedup_cluster(t: pa.Table) -> pa.Table:
         ids = np.asarray(t[id_col].to_pylist())
-        mat = np.stack([np.asarray(v) for v in t[emb_col].to_pylist()])
+        mat = list_to_matrix(t[emb_col])
         order = np.argsort(ids)
         ids, mat = ids[order], mat[order]
         cluster = int(t["cluster"][0].as_py())
@@ -578,9 +573,7 @@ def kmeans_assign(ds, ncentroids: int, *, emb_col: str = "embedding",
             return pa.table({id_col: batch[id_col],
                              "cluster": pa.array([], type=pa.int64())})
         c = ref if isinstance(ref, np.ndarray) else ray.get(ref)
-        mat = _normalize(np.stack(
-            [np.asarray(v, dtype=np.float64)
-             for v in batch[emb_col].to_pylist()]))
+        mat = _normalize(list_to_matrix(batch[emb_col]))
         cl = np.argmax(mat @ c.T, axis=1)
         return pa.table({
             id_col: batch[id_col],

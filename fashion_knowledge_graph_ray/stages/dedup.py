@@ -25,6 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.textstats import fingerprint_md5, hamming64, simhash64
+from ..functions.vectors import list_to_matrix
 from .bucketed import bucketed_group_apply
 from .canonicalize import candidate_pairs, connected_components, lsh_band_rows
 
@@ -739,9 +740,13 @@ def embedding_neardup_pairs(ds, *, emb_col: str = "embedding",
         return lsh_neardup_pairs(ds, emb_col=emb_col, id_col=id_col,
                                  threshold=threshold)
 
-    all_tbl = ds.select_columns([id_col, emb_col]).take_all()
-    ids = np.array([r[id_col] for r in all_tbl])
-    mat = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in all_tbl])
+    parts = list(ds.select_columns([id_col, emb_col])
+                   .iter_batches(batch_format="pyarrow"))
+    all_tbl = pa.concat_tables(parts) if parts \
+        else pa.table({id_col: [], emb_col: []})
+    ids = np.array(all_tbl[id_col].to_pylist())
+    mat = list_to_matrix(all_tbl[emb_col]) if all_tbl.num_rows \
+        else np.zeros((0, 1))
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     mat = mat / norms
@@ -752,8 +757,7 @@ def embedding_neardup_pairs(ds, *, emb_col: str = "embedding",
     def find(batch: pa.Table) -> pa.Table:
         bid, bmat = ray.get(ref) if not isinstance(ref, tuple) else ref
         q_ids = np.asarray(batch[id_col].to_pylist())
-        q = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in batch[emb_col].to_pylist()])
+        q = list_to_matrix(batch[emb_col])
         qn = np.linalg.norm(q, axis=1, keepdims=True)
         qn[qn == 0] = 1.0
         q = q / qn
