@@ -33,6 +33,32 @@ BENCH_CACHE = "/tmp/fkgr_bench"
 QUERY_NAMES: list[str] | None = None  # None -> all of queries(), dict order
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(non-idle-self, steal) jiffies from /proc/stat. This sandbox is a
+    shared VM: the hypervisor STEALS bursts of CPU for co-tenants, which
+    is the measured cause of same-code wall-time swings up to 5x (see
+    BASELINE.md, round 4). Every bench JSON reports the steal fraction
+    observed DURING the run so readers can tell contaminated numbers
+    from code changes."""
+    try:
+        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        busy_self = v[0] + v[1] + v[2]  # user + nice + system
+        steal = v[7] if len(v) > 7 else 0
+        return busy_self, steal
+    except Exception:
+        return 0, 0
+
+
+def _steal_frac(before: tuple[int, int], after: tuple[int, int]) -> float:
+    """Fraction of this run's scheduled-CPU demand stolen by the
+    hypervisor: steal / (self-busy + steal) over the window. ~0 on an
+    uncontended host; >0.2 means wall times are hypervisor-bound."""
+    busy = after[0] - before[0]
+    steal = after[1] - before[1]
+    tot = busy + steal
+    return round(steal / tot, 3) if tot > 0 else 0.0
+
+
 def _ensure_bench_pages(n_pages: int) -> str:
     """Generate (once) the bench page corpus with Ray, cached on disk."""
     import pyarrow.parquet as pq
@@ -131,11 +157,14 @@ def main() -> None:
     # with block count). CPU-bound per-doc stages get their parallelism
     # from override_num_blocks at the read instead.
 
+    j0 = _cpu_jiffies()
     headline = run_headline(num_cpus)
+    j1 = _cpu_jiffies()
     # scaling subprocesses only need the headline; the query sweep would
     # triple their wall time without affecting the efficiency ratio
     skip_q = os.environ.get("FKGR_BENCH_SKIP_QUERIES") == "1"
     queries = {} if skip_q else run_queries(sf_dir)
+    j2 = _cpu_jiffies()
     result = {
         "metric": "kg_build_sec",
         "value": headline["kg_build_sec"],
@@ -144,6 +173,10 @@ def main() -> None:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         **{k: v for k, v in headline.items() if k != "kg_build_sec"},
+        # hypervisor contamination gauges (see _cpu_jiffies): wall times
+        # above are only code-comparable across runs with SIMILAR fracs
+        "steal_frac_headline": _steal_frac(j0, j1),
+        "steal_frac_queries": _steal_frac(j1, j2),
     }
     print(json.dumps(result))
     ray.shutdown()
@@ -239,6 +272,10 @@ def scaling() -> None:
             "sec": {n: best[n]["value"] for n in (4, 8, 16, 32)},
             "runs": {str(n): [r["value"] for r in rs]
                      for n, rs in runs.items()},
+            # hypervisor-steal fraction per leg run (contamination gauge)
+            "steal": {str(n): [r.get("steal_frac_headline", 0.0)
+                               for r in rs]
+                      for n, rs in runs.items()},
             "pages_per_sec": {str(n): best[n]["pages_per_sec"]
                               for n in (4, 8, 16, 32)},
             "triples_per_sec_32": best[32]["triples_per_sec"],
@@ -266,6 +303,7 @@ def scaling() -> None:
         "sessions": [s["eff_4_16"] for s in sess],
         "sessions_8_32": [s["eff_8_32"] for s in sess],
         "session_legs": [s["runs"] for s in sess],
+        "session_steal": [s["steal"] for s in sess],
         # per-leg throughput from the same overall-best legs as sec_*
         # (same page count per leg, so max throughput == min seconds);
         # reporting session 0 here while sec_* were overall bests could
