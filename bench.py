@@ -128,14 +128,22 @@ def run_queries(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # FKGR_BENCH_REPS>1: min-of-N per query — steal-robust protocol for
+    # manual clean measurements (steal only ever adds time). Default 1
+    # keeps the driver's round-over-round protocol unchanged.
+    reps = int(os.environ.get("FKGR_BENCH_REPS", "1"))
     out = {}
     for name in (QUERY_NAMES or list(qs)):
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        # consume: Datasets are lazy — count() forces full execution
-        if hasattr(res, "count"):
-            res.count()
-        out[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            # consume: Datasets are lazy — count() forces full execution
+            if hasattr(res, "count"):
+                res.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 

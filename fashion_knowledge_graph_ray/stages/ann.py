@@ -353,7 +353,8 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
             b = len(ids)
             ncand = len(cids)
             kk = min(k, ncand - 1) if ncand > 1 else 0
-            out_s, out_d, out_r = [], [], []
+            empty = np.zeros(0, dtype=np.int64)
+            out_s, out_d, out_r = empty, empty, empty
             if kk > 0:
                 # running candidates: (b, ≤2k) best-so-far scores/ids
                 best_s = np.full((b, 0), -np.inf)
@@ -391,13 +392,15 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
                 order = np.lexsort((best_i, -best_s), axis=1)[:, :kk]
                 rows = np.arange(b)[:, None]
                 top_i = best_i[rows, order]
-                for i in range(b):
-                    out_s.extend([ids[i]] * kk)
-                    out_d.extend(top_i[i].tolist())
-                    out_r.extend(range(1, kk + 1))
-            return pa.table({"src": pa.array(out_s, type=pa.int64()),
-                             "dst": pa.array(out_d, type=pa.int64()),
-                             "rank": pa.array(out_r, type=pa.int64())})
+                out_s = np.repeat(ids.astype(np.int64), kk)
+                out_d = top_i.reshape(-1)
+                out_r = np.tile(np.arange(1, kk + 1, dtype=np.int64), b)
+            return pa.table({"src": pa.array(np.asarray(out_s),
+                                             type=pa.int64()),
+                             "dst": pa.array(np.asarray(out_d),
+                                             type=pa.int64()),
+                             "rank": pa.array(np.asarray(out_r),
+                                              type=pa.int64())})
 
         return ds.map_batches(exact, batch_format="pyarrow",
                               batch_size=2048, zero_copy_batch=True)
@@ -417,22 +420,24 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
         sims = mat @ c.T
         own = np.argmax(sims, axis=1)
         probes = np.argsort(-sims, axis=1)[:, :min(nprobe, c.shape[0])]
-        out_id, out_vec, out_cell, out_role = [], [], [], []
-        for i, vid in enumerate(ids):
-            out_id.append(vid)
-            out_vec.append(mat[i].tolist())
-            out_cell.append(int(own[i]))
-            out_role.append(0)  # member
-            for cell in probes[i]:
-                out_id.append(vid)
-                out_vec.append(mat[i].tolist())
-                out_cell.append(int(cell))
-                out_role.append(1)  # query replica
+        from .linker import matrix_to_list_array
+
+        # member block (each vector once, its own cell) then query block
+        # (each vector replicated to its nprobe cells); downstream is a
+        # cell groupby + per-src merge, so block order is immaterial
+        n, p = len(ids), probes.shape[1]
+        idx = np.concatenate([np.arange(n), np.repeat(np.arange(n), p)])
+        ids_arr = np.asarray(ids, dtype=np.int64)
         return pa.table({
-            id_col: pa.array(out_id, type=pa.int64()),
-            emb_col: pa.array(out_vec, type=pa.list_(pa.float64())),
-            "cell": pa.array(out_cell, type=pa.int64()),
-            "role": pa.array(out_role, type=pa.int64()),
+            id_col: pa.array(ids_arr[idx], type=pa.int64()),
+            emb_col: matrix_to_list_array(mat[idx], pa.float64()),
+            "cell": pa.array(
+                np.concatenate([own, probes.reshape(-1)]).astype(np.int64),
+                type=pa.int64()),
+            "role": pa.array(
+                np.concatenate([np.zeros(n, dtype=np.int64),
+                                np.ones(n * p, dtype=np.int64)]),
+                type=pa.int64()),
         })
 
     def cell_topk(t: pa.Table) -> pa.Table:
@@ -441,21 +446,25 @@ def knn_graph(ds, k: int, *, emb_col: str = "embedding",
         mat = list_to_matrix(t[emb_col])
         m_ids, m_mat = ids[role == 0], mat[role == 0]
         q_ids, q_mat = ids[role == 1], mat[role == 1]
-        out_s, out_d, out_sc = [], [], []
+        out_s = out_d = np.zeros(0, dtype=np.int64)
+        out_sc = np.zeros(0, dtype=np.float64)
         if len(m_ids) and len(q_ids):
             sims = q_mat @ m_mat.T
             sims[q_ids[:, None] == m_ids[None, :]] = -np.inf
             kk = min(k, sims.shape[1])
             order = np.lexsort(
                 (np.broadcast_to(m_ids, sims.shape), -sims), axis=1)[:, :kk]
-            for i in range(len(q_ids)):
-                keep = sims[i, order[i]] > -np.inf
-                out_s.extend([q_ids[i]] * int(keep.sum()))
-                out_d.extend(m_ids[order[i]][keep].tolist())
-                out_sc.extend(sims[i, order[i]][keep].tolist())
-        return pa.table({"src": pa.array(out_s, type=pa.int64()),
-                         "dst": pa.array(out_d, type=pa.int64()),
-                         "score": pa.array(out_sc, type=pa.float64())})
+            top_sc = np.take_along_axis(sims, order, axis=1)
+            keep = (top_sc > -np.inf).reshape(-1)  # row-major, same order
+            out_s = np.repeat(q_ids.astype(np.int64), kk)[keep]
+            out_d = m_ids[order].reshape(-1)[keep].astype(np.int64)
+            out_sc = top_sc.reshape(-1)[keep]
+        return pa.table({"src": pa.array(np.asarray(out_s),
+                                         type=pa.int64()),
+                         "dst": pa.array(np.asarray(out_d),
+                                         type=pa.int64()),
+                         "score": pa.array(np.asarray(out_sc),
+                                           type=pa.float64())})
 
     def merge(t: pa.Table) -> pa.Table:
         import pandas as pd

@@ -309,8 +309,11 @@ def matrix_to_list_array(mat: np.ndarray, value_type=None) -> pa.ListArray:
     flat = mat.reshape(-1)
     if value_type is not None:
         flat = flat.astype(value_type.to_pandas_dtype(), copy=False)
-    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
-                       type=pa.int32())
+    if d == 0:  # degenerate empty batch: n empty lists
+        offsets = pa.array(np.zeros(n + 1, dtype=np.int32), type=pa.int32())
+    else:
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32),
+                           type=pa.int32())
     return pa.ListArray.from_arrays(offsets, pa.array(flat))
 
 
