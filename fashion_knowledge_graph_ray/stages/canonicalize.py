@@ -97,26 +97,37 @@ def minhash_signature(text: str, num_perm: int = _NUM_PERM,
 def lsh_band_rows(ds, text_col: str, id_col: str, *,
                   num_perm: int = _NUM_PERM, bands: int = _BANDS,
                   shingle_k: int = _SHINGLE_K, batch_size: int = 4096):
-    """-> Dataset (band_key:str, id): one row per (record, band).
+    """-> Dataset (band_key:int64, id): one row per (record, band).
 
     Deliberately does NOT carry the text: band rows fan out x``bands`` per
     record, so carrying text would shuffle ``bands`` copies of the whole
     corpus (measured ~16x the table size at sf0.1). Verification fetches
-    texts for the (few) candidate ids afterwards."""
+    texts for the (few) candidate ids afterwards.
+
+    ``band_key`` packs ``(band_index << 32) | crc32(segment bytes)`` into
+    one int64 — the SAME grouping as the former ``f"{band}:{crc}"``
+    string key, but the widest exchange of the LSH ships 8-byte ints
+    instead of variable-width strings, and all per-(record, band) hashes
+    of a batch compute in one table-driven CRC pass instead of
+    n x bands ``zlib.crc32`` calls."""
     rows_per_band = num_perm // bands
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
+        from ..functions.vectors import _crc32_rows
+
         texts = batch[text_col].to_pylist()
-        keys, out_ids = [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t or "", num_perm, shingle_k)
-            for b in range(bands):
-                seg = sig[b * rows_per_band:(b + 1) * rows_per_band]
-                h = zlib.crc32(seg.tobytes())
-                keys.append(f"{b}:{h}")
-                out_ids.append(i)
-        return pa.table({"band_key": keys, "id": out_ids})
+        n = len(texts)
+        sigs = np.empty((n, num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = minhash_signature(t or "", num_perm, shingle_k)
+        win = np.ascontiguousarray(sigs).view(np.uint8) \
+            .reshape(n * bands, rows_per_band * 8)
+        h = _crc32_rows(win).astype(np.int64)
+        band_idx = np.tile(np.arange(bands, dtype=np.int64), n)
+        keys = (band_idx << np.int64(32)) | h
+        out_ids = batch[id_col].take(np.repeat(np.arange(n), bands))
+        return pa.table({"band_key": pa.array(keys, type=pa.int64()),
+                         "id": out_ids})
 
     return ds.map_batches(to_bands, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
