@@ -257,19 +257,19 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
     blocking), verify exact Hamming distance."""
 
     def to_bands(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
+        # band_key packs (band << 16) | 16-bit chunk into one int64 (same
+        # grouping as the former "band:chunk" string, 8-byte exchange)
         texts = t[text_col].to_pylist()
-        keys, out_id, out_sh = [], [], []
-        for i, x in zip(ids, texts):
-            sh = simhash64(x or "")
-            for b in range(4):
-                chunk = (sh >> (16 * b)) & 0xFFFF
-                keys.append(f"{b}:{chunk}")
-                out_id.append(str(i))
-                out_sh.append(sh)
-        return pa.table({"band_key": keys,
-                         "id": pa.array(out_id, type=pa.string()),
-                         "simhash": pa.array(out_sh, type=pa.uint64())})
+        n = len(texts)
+        sh = np.fromiter((simhash64(x or "") for x in texts),
+                         dtype=np.uint64, count=n)
+        idx = np.repeat(np.arange(n), 4)
+        b = np.tile(np.arange(4, dtype=np.uint64), n)
+        chunk = (sh[idx] >> (np.uint64(16) * b)) & np.uint64(0xFFFF)
+        keys = (b.astype(np.int64) << np.int64(16)) | chunk.astype(np.int64)
+        return pa.table({"band_key": pa.array(keys, type=pa.int64()),
+                         "id": t[id_col].cast(pa.string()).take(idx),
+                         "simhash": pa.array(sh[idx])})
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow",
                               zero_copy_batch=True)
