@@ -189,6 +189,44 @@ def test_link_many_matches_full_matrix_spec():
     assert ok.any()  # the fixture must actually accept some links
 
 
+def test_band_key_packing_matches_string_spec():
+    """The int64 band keys must group EXACTLY like the former string keys:
+    minhash (band << 32) | crc32(segment bytes), simhash
+    (band << 16) | 16-bit chunk."""
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        _BANDS,
+        _NUM_PERM,
+        _SHINGLE_K,
+        minhash_signature,
+    )
+    from fashion_knowledge_graph_ray.functions.textstats import simhash64
+
+    texts = ["the quick brown fox jumps", "", "aaaa bbbb cccc",
+             "the quick brown fox jumped", "x", "café déjà vu"]
+    r = _NUM_PERM // _BANDS
+    old, new = [], []
+    for t in texts:
+        sig = minhash_signature(t or "", _NUM_PERM, _SHINGLE_K)
+        for b in range(_BANDS):
+            old.append((b, zlib.crc32(sig[b * r:(b + 1) * r].tobytes())))
+    sigs = np.stack([minhash_signature(t or "", _NUM_PERM, _SHINGLE_K)
+                     for t in texts])
+    win = np.ascontiguousarray(sigs).view(np.uint8) \
+        .reshape(len(texts) * _BANDS, r * 8)
+    h = _crc32_rows(win).astype(np.int64)
+    bi = np.tile(np.arange(_BANDS, dtype=np.int64), len(texts))
+    for b, k in zip(bi, (bi << np.int64(32)) | h):
+        new.append((int(b), int(k & 0xFFFFFFFF)))
+    assert old == new
+
+    for t in texts:
+        sh = simhash64(t or "")
+        for b in range(4):
+            chunk = (sh >> (16 * b)) & 0xFFFF
+            packed = (b << 16) | chunk
+            assert packed >> 16 == b and packed & 0xFFFF == chunk
+
+
 def test_cosine_top1_matches_topk_head():
     rng = np.random.default_rng(2)
     q = rng.standard_normal((20, 8))
