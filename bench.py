@@ -34,29 +34,68 @@ QUERY_NAMES: list[str] | None = None  # None -> all of queries(), dict order
 
 
 def _cpu_jiffies() -> tuple[int, int]:
-    """(non-idle-self, steal) jiffies from /proc/stat. This sandbox is a
+    """(machine-busy, steal) jiffies from /proc/stat. This sandbox is a
     shared VM: the hypervisor STEALS bursts of CPU for co-tenants, which
     is the measured cause of same-code wall-time swings up to 5x (see
     BASELINE.md, round 4). Every bench JSON reports the steal fraction
     observed DURING the run so readers can tell contaminated numbers
-    from code changes."""
+    from code changes.
+
+    Note the gauge is MACHINE-WIDE: /proc/stat aggregates user+nice+system
+    across every process in the guest (co-tenant guest processes included),
+    not just this benchmark — it measures the host environment, not the
+    run itself."""
     try:
-        v = [int(x) for x in open("/proc/stat").readline().split()[1:]]
-        busy_self = v[0] + v[1] + v[2]  # user + nice + system
+        with open("/proc/stat") as fh:
+            v = [int(x) for x in fh.readline().split()[1:]]
+        busy = v[0] + v[1] + v[2]  # user + nice + system (whole guest)
         steal = v[7] if len(v) > 7 else 0
-        return busy_self, steal
+        return busy, steal
     except Exception:
         return 0, 0
 
 
 def _steal_frac(before: tuple[int, int], after: tuple[int, int]) -> float:
-    """Fraction of this run's scheduled-CPU demand stolen by the
-    hypervisor: steal / (self-busy + steal) over the window. ~0 on an
+    """Fraction of the machine's scheduled-CPU demand stolen by the
+    hypervisor over the window: steal / (busy + steal). ~0 on an
     uncontended host; >0.2 means wall times are hypervisor-bound."""
     busy = after[0] - before[0]
     steal = after[1] - before[1]
     tot = busy + steal
     return round(steal / tot, 3) if tot > 0 else 0.0
+
+
+def _emit(result: dict, artifact: str) -> None:
+    """Print the one-line JSON AND write it to a file artifact. The
+    round-4 driver captured only the TAIL of stdout, truncating the
+    headline out of BENCH_r04.json — the file copy makes the record
+    whole regardless of how stdout is captured."""
+    line = json.dumps(result)
+    print(line)
+    try:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            artifact)
+        with open(path, "w") as fh:
+            fh.write(line + "\n")
+    except Exception:
+        pass  # the stdout line remains authoritative if the repo is RO
+
+
+def _wait_quiet(max_wait_sec: int, *, frac: float = 0.01,
+                window_sec: int = 15) -> float:
+    """Block until a ``window_sec`` sample of /proc/stat shows hypervisor
+    steal <= ``frac``, or ``max_wait_sec`` elapses. Returns the last
+    observed steal fraction. Steal bursts arrive in multi-minute waves on
+    this host (BASELINE.md round 4), so starting a measurement inside a
+    quiet window is the single biggest lever for clean sessions."""
+    deadline = time.time() + max_wait_sec
+    last = 1.0
+    while True:
+        j0 = _cpu_jiffies()
+        time.sleep(window_sec)
+        last = _steal_frac(j0, _cpu_jiffies())
+        if last <= frac or time.time() >= deadline:
+            return last
 
 
 def _ensure_bench_pages(n_pages: int) -> str:
@@ -130,8 +169,9 @@ def run_queries(sf_dir: str) -> dict:
     qs = entrymod.queries()
     # FKGR_BENCH_REPS>1: min-of-N per query — steal-robust protocol for
     # manual clean measurements (steal only ever adds time). Default 1
-    # keeps the driver's round-over-round protocol unchanged.
-    reps = int(os.environ.get("FKGR_BENCH_REPS", "1"))
+    # keeps the driver's round-over-round protocol unchanged. Clamped to
+    # >=1: a zero/negative value would leave `best` unassigned below.
+    reps = max(1, int(os.environ.get("FKGR_BENCH_REPS", "1")))
     out = {}
     for name in (QUERY_NAMES or list(qs)):
         best = None
@@ -186,7 +226,12 @@ def main() -> None:
         "steal_frac_headline": _steal_frac(j0, j1),
         "steal_frac_queries": _steal_frac(j1, j2),
     }
-    print(json.dumps(result))
+    # scaling-leg subprocesses print only (their parent parses stdout and
+    # the BENCH.json artifact would race across concurrent legs)
+    if os.environ.get("FKGR_BENCH_NO_ARTIFACT") == "1":
+        print(json.dumps(result))
+    else:
+        _emit(result, "BENCH.json")
     ray.shutdown()
 
 
@@ -245,6 +290,7 @@ def scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    FKGR_BENCH_SKIP_QUERIES="1",
+                   FKGR_BENCH_NO_ARTIFACT="1",
                    FKGR_BENCH_PAGES=scaling_pages)
         env.setdefault("POLARS_MAX_THREADS", "1")
         if shm_out:
@@ -261,13 +307,27 @@ def scaling() -> None:
                             FKGR_BENCH_PAGES=scaling_pages),
                    capture_output=True, check=True,
                    cwd=os.path.dirname(os.path.abspath(__file__)))
-    reps = int(os.environ.get("FKGR_SCALING_REPS", "2"))
-    # ``sessions`` independent repetitions of the WHOLE interleaved
-    # protocol; the reported efficiency is the MEDIAN of per-session
-    # efficiencies (round-2 verdict: a single favorable window is not
-    # evidence — median-of-sessions from one command is). Raw legs of
-    # every session are printed verbatim.
-    sessions = int(os.environ.get("FKGR_SCALING_SESSIONS", "3"))
+    reps = max(1, int(os.environ.get("FKGR_SCALING_REPS", "2")))
+    # Session policy (round-5, PRE-DECLARED in BASELINE.md before any
+    # round-5 run): independent repetitions of the WHOLE interleaved
+    # protocol. A session is CLEAN when every leg ran at hypervisor steal
+    # <= FKGR_SCALING_CLEAN_STEAL (default 0.01) — an instrument
+    # independent of the measured times. The PRIMARY metric
+    # ``scaling_efficiency_clean`` is the MEDIAN over clean sessions;
+    # sessions keep collecting until at least FKGR_SCALING_MIN_CLEAN
+    # (default 2) are clean (bounded by FKGR_SCALING_MAX_SESSIONS,
+    # default 6), so no post-hoc selector is needed when the host
+    # cooperates. If NO session comes back clean the field falls back to
+    # the round-4 least-max-steal selector and says so via
+    # ``clean_sessions == 0``. ``scaling_efficiency`` (median of ALL
+    # sessions) stays for round-over-round comparability.
+    sessions_min = int(os.environ.get("FKGR_SCALING_SESSIONS", "3"))
+    min_clean = int(os.environ.get("FKGR_SCALING_MIN_CLEAN", "2"))
+    max_sessions = int(os.environ.get("FKGR_SCALING_MAX_SESSIONS", "6"))
+    clean_bar = float(os.environ.get("FKGR_SCALING_CLEAN_STEAL", "0.01"))
+    # optional pre-session quiet gate: wait up to N sec for a low-steal
+    # window before starting each session (0 = off)
+    quiet_wait = int(os.environ.get("FKGR_SCALING_QUIET_WAIT", "0"))
 
     def one_session() -> dict:
         runs: dict[int, list] = {4: [], 16: [], 8: [], 32: []}
@@ -291,8 +351,20 @@ def scaling() -> None:
             "eff_8_32": round((best[8]["value"] / best[32]["value"]) / 4, 3),
         }
 
+    def max_steal(s: dict) -> float:
+        return max(max(v) for v in s["steal"].values())
+
+    sess: list[dict] = []
     try:
-        sess = [one_session() for _ in range(sessions)]
+        while True:
+            if quiet_wait:
+                _wait_quiet(quiet_wait, frac=clean_bar)
+            sess.append(one_session())
+            n_clean = sum(1 for s in sess if max_steal(s) <= clean_bar)
+            if len(sess) >= sessions_min and n_clean >= min_clean:
+                break
+            if len(sess) >= max_sessions:
+                break
     finally:
         if shm_out:
             import shutil
@@ -304,8 +376,14 @@ def scaling() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
+    clean = [s for s in sess if max_steal(s) <= clean_bar]
+    # primary: median over clean sessions; fallback (no clean session on
+    # an uncooperative host): the single least-max-steal session, as in
+    # round 4 — distinguishable via clean_sessions == 0
+    eff_clean = (round(median([s["eff_4_16"] for s in clean]), 3) if clean
+                 else min(sess, key=max_steal)["eff_4_16"])
     overall_best = {n: min(s["sec"][n] for s in sess) for n in (4, 8, 16, 32)}
-    print(json.dumps({
+    _emit({
         "sec_4": overall_best[4], "sec_16": overall_best[16],
         "sec_8": overall_best[8], "sec_32": overall_best[32],
         "sessions": [s["eff_4_16"] for s in sess],
@@ -323,22 +401,20 @@ def scaling() -> None:
         "scaling_efficiency": round(median([s["eff_4_16"] for s in sess]), 3),
         "scaling_efficiency_8_32": round(
             median([s["eff_8_32"] for s in sess]), 3),
-        # steal-aware estimator: the efficiency of the session whose WORST
-        # leg saw the least hypervisor steal. The median treats sessions
-        # as exchangeable, but on this shared box they are not — steal
-        # contaminates whole minutes at a time, and a contaminated leg
-        # biases the ratio in either direction. Selecting on steal (an
-        # instrument independent of the measured times) is pre-declared
-        # and unbiased; with equally-clean sessions it converges to the
-        # median.
-        "scaling_efficiency_clean": min(
-            sess, key=lambda s: max(max(v) for v in s["steal"].values())
-        )["eff_4_16"],
-        "clean_session_max_steal": max(
-            max(v) for v in min(
-                sess, key=lambda s: max(max(v) for v in s["steal"].values())
-            )["steal"].values()),
-    }))
+        # PRIMARY (pre-declared, BASELINE.md round 5): median efficiency
+        # over CLEAN sessions — every leg at steal <= clean_bar. Steal is
+        # an instrument independent of the measured times, contaminates
+        # whole minutes at a time, and biases the ratio in either
+        # direction; conditioning on it is unbiased, and with all
+        # sessions clean this IS the plain median.
+        "scaling_efficiency_clean": eff_clean,
+        "clean_sessions": len(clean),
+        "clean_steal_bar": clean_bar,
+        "clean_session_effs": [s["eff_4_16"] for s in clean],
+        "clean_session_max_steal": (max(max_steal(s) for s in clean)
+                                    if clean
+                                    else max_steal(min(sess, key=max_steal))),
+    }, "SCALING.json")
 
 
 def recall() -> None:
