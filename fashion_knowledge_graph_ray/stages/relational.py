@@ -160,7 +160,12 @@ def broadcast_join(ds, col: str, lookup: dict, new_cols: list[str], *,
     Appended-column types are derived ONCE from the lookup values on the
     driver, so an all-miss batch under ``how="left"`` still emits the same
     schema as every other block (an inferred all-null column would be
-    null-typed and break downstream union/write schema unification)."""
+    null-typed and break downstream union/write schema unification).
+
+    The lookup ships as PARALLEL ARROW ARRAYS (keys + one value array per
+    appended column) and each batch resolves with one hash probe
+    (``pc.index_in``) + one ``pc.take`` per value column — no per-row
+    Python dict gets on the big side's hot path."""
     import ray
 
     def _infer(j: int) -> pa.DataType:
@@ -170,23 +175,43 @@ def broadcast_join(ds, col: str, lookup: dict, new_cols: list[str], *,
         return pa.string()
 
     col_types = [_infer(j) for j in range(len(new_cols))]
-    ref = ray.put(lookup) if ray.is_initialized() else lookup
+    keys_arr = pa.array(list(lookup.keys()))
+    val_arrs = [pa.array([v[j] for v in lookup.values()], type=col_types[j])
+                for j in range(len(new_cols))]
+    payload = (keys_arr, val_arrs)
+    ref = ray.put(payload) if ray.is_initialized() else payload
 
     def f(t: pa.Table) -> pa.Table:
-        m = ray.get(ref) if not isinstance(ref, dict) else ref
-        keys = t[col].to_pylist()
-        hits = [m.get(k) for k in keys]
+        ks, vals = ray.get(ref) if not isinstance(ref, tuple) else ref
+        c = t[col].combine_chunks()
+        if len(ks) == 0:  # empty lookup: every row is a miss
+            idx = pa.nulls(len(c), type=pa.int32())
+        else:
+            if c.type != ks.type:
+                ks = ks.cast(c.type)
+            idx = pc.index_in(c, value_set=ks)  # null index = miss
         if how == "inner":
-            mask = pa.array([h is not None for h in hits], type=pa.bool_())
-            t = t.filter(mask)
-            hits = [h for h in hits if h is not None]
+            hit = pc.is_valid(idx)
+            t = t.filter(hit)
+            idx = idx.filter(hit)
         for j, name in enumerate(new_cols):
-            t = t.append_column(
-                name, pa.array([h[j] if h is not None else None
-                                for h in hits], type=col_types[j]))
+            # take with a null index yields null — exactly the left-join
+            # null-fill; inner already filtered the misses out
+            t = t.append_column(name, pc.take(vals[j], idx))
         return t
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pandas_to_arrow(m, names, out_types) -> pa.Table:
+    """Typed pandas→Arrow conversion for bucket-join outputs: one C++
+    ``pa.Array.from_pandas`` per column (NaN/NaT → null; int columns that
+    pandas float-ized on a null-filling merge cast back losslessly, a
+    fractional value raises instead of corrupting) — replaces the former
+    per-row ``astype(object).where(...).tolist()`` round-trip, which was
+    the widest kernel of the large×large joins."""
+    return pa.table(
+        {n: pa.Array.from_pandas(m[n], type=out_types[n]) for n in names})
 
 
 def shuffle_join(left_ds, right_ds, left_key: str, right_key: str, *,
@@ -236,18 +261,12 @@ def shuffle_join(left_ds, right_ds, left_key: str, right_key: str, *,
                  **{out_r[n]: r_types[n] for n in r_names}}
 
     def join_bucket(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         side = t["__side"].to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).select(l_names)
         rt = t.filter(pa.array(side == 1)).select([left_key] + r_out_names)
         ldf, rdf = lt.to_pandas(), rt.to_pandas()
         m = ldf.merge(rdf, on=left_key, how=how)
-        cols = {}
-        for n in l_names + r_out_names:
-            s = m[n].astype(object).where(pd.notna(m[n]), None)
-            cols[n] = pa.array(s.tolist(), type=out_types[n])
-        return pa.table(cols)
+        return _pandas_to_arrow(m, l_names + r_out_names, out_types)
 
     return bucketed_group_apply(both, [left_key], join_bucket,
                                 num_buckets=num_buckets)
@@ -423,11 +442,7 @@ def asof_join(left_ds, right_ds, *, key: str, right_key: str,
                           by=key, direction="backward",
                           allow_exact_matches=True)
         m = m[m[rt_out].notna()]  # inner: drop left rows with no match
-        cols = {}
-        for n in l_names + r_out_names:
-            s = m[n].astype(object).where(pd.notna(m[n]), None)
-            cols[n] = pa.array(s.tolist(), type=out_types[n])
-        return pa.table(cols)
+        return _pandas_to_arrow(m, l_names + r_out_names, out_types)
 
     return bucketed_group_apply(both, [key], join_bucket,
                                 num_buckets=num_buckets)
@@ -522,8 +537,6 @@ def band_join(left_ds, right_ds, *, left_val: str, right_val: str,
                  **{out_r[n]: r_types[n] for n in r_names}}
 
     def join_cell(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         side = t["__side"].to_numpy(zero_copy_only=False)
         lt = t.filter(pa.array(side == 0)).select(l_names + [CELL])
         rt = t.filter(pa.array(side == 1)).select(key + r_out_names
@@ -535,11 +548,7 @@ def band_join(left_ds, right_ds, *, left_val: str, right_val: str,
             lv = m[left_val].to_numpy(dtype=np.float64)
             rv = m[rv_out].to_numpy(dtype=np.float64)
             m = m[(rv >= lv - eps) & (rv <= lv + eps)]
-        cols = {}
-        for n in l_names + r_out_names:
-            s = m[n].astype(object).where(pd.notna(m[n]), None)
-            cols[n] = pa.array(s.tolist(), type=out_types[n])
-        return pa.table(cols)
+        return _pandas_to_arrow(m, l_names + r_out_names, out_types)
 
     return bucketed_group_apply(both, key + [CELL], join_cell,
                                 num_buckets=num_buckets)
