@@ -26,6 +26,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .bucketed import bucketed_group_apply
 
@@ -534,24 +535,30 @@ def connected_components(pairs_ds, nodes_ds, *, max_iters: int = 12,
                                             batch_format="pyarrow")))
 
         def propagate(t: pa.Table) -> pa.Table:
-            import pandas as pd
-
-            df = pd.DataFrame({"key": t["key"].to_pandas(),
-                               "kind": t["kind"].to_pandas(),
-                               "payload": t["payload"].to_pandas()})
-            lab = (df[df["kind"] == "L"].groupby("key", sort=True)["payload"]
-                   .min())
-            ed = df[df["kind"] == "E"]
-            # messages (nbr <- label of key)
-            msg = ed.merge(lab.rename("lbl"), left_on="key",
-                           right_index=True, how="left")
-            out = pd.concat([
-                pd.DataFrame({"id": lab.index, "label": lab.values}),
-                pd.DataFrame({"id": msg["payload"], "label": msg["lbl"]}),
-            ]).dropna()
-            best = out.groupby("id", sort=True)["label"].min().reset_index()
-            return pa.table({"id": pa.array(best["id"], type=pa.string()),
-                             "label": pa.array(best["label"], type=pa.string())})
+            # Arrow-native bucket kernel (was pandas groupby+merge): hash
+            # group_by for the per-key label min, one pc.index_in probe +
+            # pc.take to attach labels to edge messages — the algorithm
+            # (min-label propagation + pointer jumping) is unchanged.
+            is_l = pc.equal(t["kind"], pa.scalar("L"))
+            lab = (t.filter(is_l).select(["key", "payload"])
+                   .group_by(["key"]).aggregate([("payload", "min")]))
+            lab_key = lab["key"].combine_chunks()
+            lab_min = lab["payload_min"].combine_chunks()
+            ed = t.filter(pc.invert(is_l))
+            # messages (nbr <- label of key); an edge whose key has no
+            # label in this bucket contributes nothing (null filtered)
+            idx = pc.index_in(ed["key"].combine_chunks(),
+                              value_set=lab_key)
+            msg_lbl = pc.take(lab_min, idx)
+            out = pa.table({
+                "id": pa.concat_arrays(
+                    [lab_key, ed["payload"].combine_chunks()]),
+                "label": pa.concat_arrays([lab_min, msg_lbl]),
+            }).filter(pc.is_valid(
+                pa.concat_arrays([lab_min, msg_lbl])))
+            best = out.group_by(["id"]).aggregate([("label", "min")])
+            return pa.table({"id": best["id"].combine_chunks(),
+                             "label": best["label_min"].combine_chunks()})
 
         propagated = bucketed_group_apply(tagged, ["key"], propagate,
                                           num_buckets=num_buckets)

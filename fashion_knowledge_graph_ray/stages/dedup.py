@@ -275,28 +275,36 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
                               zero_copy_batch=True)
 
     def pairs_in_buckets(t: pa.Table) -> pa.Table:
+        # Fully vectorized bucket kernel (was a Python double loop over
+        # bucket members): per-group cap by id order, pandas self-merge
+        # for the candidate fan-out, one XOR + unpackbits popcount pass
+        # for the Hamming verify. Pair set identical — same cap rule
+        # (first ``max_bucket_size`` ids per bucket), same a<b ordering;
+        # within-task (a, b) dedup keeps the shuffle volume of the old
+        # ``seen``-set behavior.
         import pandas as pd
 
         df = pd.DataFrame({"band_key": t["band_key"].to_pandas(),
                            "id": t["id"].to_pandas(),
                            "simhash": t["simhash"].to_pandas()})
-        a_out, b_out, d_out = [], [], []
-        seen = set()
-        for _, g in df.groupby("band_key", sort=True):
-            g = g.drop_duplicates("id").sort_values("id")
-            members = list(zip(g["id"], g["simhash"]))[:max_bucket_size]
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    (ia, ha), (ib, hb) = members[i], members[j]
-                    if (ia, ib) in seen:
-                        continue
-                    seen.add((ia, ib))
-                    d = hamming64(int(ha), int(hb))
-                    if d <= max_hamming:
-                        a_out.append(ia); b_out.append(ib); d_out.append(d)
-        return pa.table({"a": pa.array(a_out, type=pa.string()),
-                         "b": pa.array(b_out, type=pa.string()),
-                         "hamming": pa.array(d_out, type=pa.int64())})
+        df = (df.drop_duplicates(["band_key", "id"])
+              .sort_values(["band_key", "id"], kind="mergesort"))
+        df = df[df.groupby("band_key").cumcount() < max_bucket_size]
+        m = df.merge(df, on="band_key", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        if len(m):
+            x = (m["simhash_a"].to_numpy(dtype=np.uint64)
+                 ^ m["simhash_b"].to_numpy(dtype=np.uint64))
+            d = np.unpackbits(x.view(np.uint8)).reshape(-1, 64).sum(axis=1)
+            m = m.assign(hamming=d.astype(np.int64))
+            m = m[m["hamming"] <= max_hamming]
+            m = m.drop_duplicates(["id_a", "id_b"])
+        else:
+            m = m.assign(hamming=np.empty(0, dtype=np.int64))
+        return pa.table({"a": pa.array(m["id_a"], type=pa.string()),
+                         "b": pa.array(m["id_b"], type=pa.string()),
+                         "hamming": pa.array(m["hamming"],
+                                             type=pa.int64())})
 
     raw = bucketed_group_apply(bands_ds, ["band_key"], pairs_in_buckets,
                                num_buckets=num_buckets)

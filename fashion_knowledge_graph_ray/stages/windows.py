@@ -147,21 +147,37 @@ def session_windows(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     def sessions(t: pa.Table) -> pa.Table:
         import numpy as np
-        import pandas as pd
 
-        df = pd.DataFrame({key_col: t[key_col].to_pandas(),
-                           id_col: t[id_col].to_pandas(),
-                           "ts": t[ts_col].to_pandas()})
-        df = df.sort_values([key_col, "ts", id_col], kind="mergesort")
-        gap = pd.Timedelta(minutes=gap_minutes)
-        new_key = df[key_col].ne(df[key_col].shift())
-        new_gap = df["ts"].diff() > gap
-        sess = np.cumsum(new_key | new_gap)
-        g = df.groupby([df[key_col], sess], sort=True).agg(
-            session_start=("ts", "min"), session_end=("ts", "max"),
-            n_events=("ts", "size"))
-        g = g.reset_index(level=0).reset_index(drop=True)
-        return pa.Table.from_pandas(g, preserve_index=False)
+        if t.num_rows == 0:
+            return pa.table({key_col: t[key_col],
+                             "session_start": t[ts_col],
+                             "session_end": t[ts_col],
+                             "n_events": pa.array([], type=pa.int64())})
+        # one Arrow sort on (key, ts, id), then the gap scan runs on
+        # int64 epoch ticks — no pandas frame round-trip (the former
+        # kernel built a DataFrame, Timedelta-diffed and groupby-agged)
+        order = pc.sort_indices(t, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        t = t.take(order)
+        ticks, per_sec, _ = _epoch_ticks(t, ts_col)
+        gap_ticks = gap_minutes * 60 * per_sec
+        # key-change boundaries via dictionary codes (works for any type)
+        codes = pc.dictionary_encode(t[key_col].combine_chunks()) \
+            .indices.to_numpy(zero_copy_only=False)
+        new = np.ones(len(ticks), dtype=bool)
+        new[1:] = (codes[1:] != codes[:-1]) \
+            | (ticks[1:] - ticks[:-1] > gap_ticks)
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:] - 1, len(ticks) - 1)
+        # within a session rows are ts-sorted, so start/end rows hold the
+        # min/max timestamps directly
+        return pa.table({
+            key_col: t[key_col].take(pa.array(starts)),
+            "session_start": t[ts_col].take(pa.array(starts)),
+            "session_end": t[ts_col].take(pa.array(ends)),
+            "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+        })
 
     return bucketed_group_apply(ds, [key_col], sessions,
                                 num_buckets=num_buckets)
