@@ -189,15 +189,20 @@ def resolve_pool_sizes(concurrency=None) -> int:
     executor deadlocks (observed at num_cpus=4 with over-sized pools).
 
     ``concurrency``: None auto-sizes; an int pins the pool size; a
-    (detector, linker) tuple from the old two-pool API sums."""
-    if concurrency is not None:
-        if isinstance(concurrency, tuple):
-            return max(1, sum(concurrency))
-        return max(1, int(concurrency))
+    (detector, linker) tuple from the old two-pool API sums. Either way
+    the result is clamped to cluster CPUs - 1: a pool claiming EVERY CPU
+    slot starves the task operators (read, shuffle) and deadlocks the
+    streaming executor — observed with entry()'s pinned 6-actor pool on
+    a ``ray.init(num_cpus=4)`` session."""
     import ray
 
     ncpu = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
+    cap = max(1, ncpu - 1)
+    if concurrency is not None:
+        if isinstance(concurrency, tuple):
+            return min(cap, max(1, sum(concurrency)))
+        return min(cap, max(1, int(concurrency)))
     # measured optima on the 800k-page bench: small clusters want almost
     # everything in the pool (8 cpus: 7 actors beat 6 by 18%); larger ones
     # settle at 3/4 of the cluster — once the output branches lost their

@@ -306,6 +306,13 @@ def matrix_to_list_array(mat: np.ndarray, value_type=None) -> pa.ListArray:
     sizes (250k x 256) the per-row loop was a measured multi-second slice
     of the index persist."""
     n, d = mat.shape
+    if n * d > np.iinfo(np.int32).max:
+        # int32 offsets would wrap silently into a corrupt ListArray; a
+        # single Arrow list column cannot index >2^31 values. Callers at
+        # that scale must chunk the matrix into multiple batches.
+        raise ValueError(
+            f"matrix_to_list_array: {n}x{d} = {n * d} values exceeds "
+            f"int32 list offsets; split the matrix into chunks")
     flat = mat.reshape(-1)
     if value_type is not None:
         flat = flat.astype(value_type.to_pandas_dtype(), copy=False)
