@@ -1554,70 +1554,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # DICT ORDER IS LOAD-BEARING for driver evidence: the correctness
     # sweep verifies the first 50 entries in order. Standing ROTATION
     # POLICY (round-3 verdict): every query's driver row must be at most
-    # one round old. Round 4 therefore leads with (a) source_stats_docs —
-    # added after the round-3 sweep window, never driver-verified — and
-    # the 24 queries whose green row dates from round 2 (windows, joins,
-    # textstats, json_flatten, cms, tfidf...), then (b) the queries whose
-    # code round 4 touched (windows are already in block (a); near-dup
-    # emission, edge aggregation pushdown, canonicalize plumbing,
-    # mentions casefold, graph num_buckets guard), then (c) fill to 50
-    # with the longest-unverified round-3 queries. Positions 51-75 are
-    # all round-3-green, so after this sweep no row is older than r03.
+    # one round old. Round 5 leads with (a) the 25 queries whose green
+    # row dates from round 3 (media, corpus/index, dedup family, rrf,
+    # pack/shuffle/quantiles, groupby/anti-join), then (b) the queries
+    # over code round 5 touched (Arrow-native broadcast_join, typed
+    # bucket-kernel outputs in shuffle/asof/band joins, numpy session
+    # windows, vectorized simhash kernel, Arrow CC propagate), then
+    # (c) fill to 50 with r04-green KG/graph/near-dup queries. Positions
+    # 51-75 are all round-4-green, so after this sweep no driver row is
+    # older than one round.
     return {
-        # -- (a) driver row stale (r02) or missing: re-verify first --
-        "source_stats_docs": _q_source_stats_docs,
-        "tumbling_window_events": _q_tumbling_window_events,
-        "hopping_window_events": _q_hopping_window_events,
-        "session_window_events": _q_session_window_events,
-        "asof_join_events": _q_asof_join_events,
-        "band_join_events": _q_band_join_events,
-        "broadcast_join_lineitem": _q_broadcast_join_lineitem,
-        "shuffle_join_orders": _q_shuffle_join_orders,
-        "attr_triples_part": _q_attr_triples_part,
-        "filter_project_events": _q_filter_project_events,
-        "valid_docs": _q_valid_docs,
-        "grouped_sample_docs": _q_grouped_sample_docs,
-        "token_count_docs": _q_token_count_docs,
-        "quality_docs": _q_quality_docs,
-        "repetition_docs": _q_repetition_docs,
-        "pii_scrub_docs": _q_pii_scrub_docs,
-        "quality_filter_docs": _q_quality_filter_docs,
-        "lang_id_docs": _q_lang_id_docs,
-        "fingerprint_docs": _q_fingerprint_docs,
-        "top_tokens_docs": _q_top_tokens_docs,
-        "decontam_docs": _q_decontam_docs,
-        "stratified_sample_docs": _q_stratified_sample_docs,
-        "tfidf_topk_docs": _q_tfidf_topk_docs,
-        "json_flatten_events": _q_json_flatten_events,
-        "cms_counts_events": _q_cms_counts_events,
-        # -- (b) code touched in round 4 (re-verify) --
-        "near_dup_cosine": _q_near_dup_cosine,
-        "near_dup_cosine_lsh": _q_near_dup_cosine_lsh,
-        "related_entities_topk": _q_related_entities_topk,
-        "cooccur_edges": _q_cooccur_edges,
-        "edge_topk_per_node": _q_edge_topk_per_node,
-        "node_merge_lww": _q_node_merge_lww,
-        "minhash_dedup_docs": _q_minhash_dedup_docs,
-        "canonical_map": _q_canonical_map,
-        "kg_edges_canonical": _q_kg_edges_canonical,
-        "kg_mentions": _q_kg_mentions,
-        "kg_edges": _q_kg_edges,
-        "kg_pagerank": _q_kg_pagerank,
-        "kg_triples_embedding": _q_kg_triples_embedding,
-        "pagerank_lineitem": _q_pagerank_lineitem,
-        "triangles_parts": _q_triangles_parts,
-        "knn_graph_emb": _q_knn_graph_emb,
-        # -- (c) round-3-green fill to the 50-query window --
-        "outfit_text": _q_outfit_text,
-        "outfit_page": _q_outfit_page,
-        "simhash_pairs_docs": _q_simhash_pairs_docs,
-        "lsh_ann_topk": _q_lsh_ann_topk,
-        "ivf_ann_topk": _q_ivf_ann_topk,
-        "union_upsert_docs": _q_union_upsert_docs,
-        "top1_per_order": _q_top1_per_order,
-        "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
-        "attr_extract_docs": _q_attr_extract_docs,
-        # -- round-3-green, beyond the sweep window this round --
+        # -- (a) driver row r03-dated: re-verify first --
         "spec_attrs_docs": _q_spec_attrs_docs,
         "media_frame_sample": _q_media_frame_sample,
         "media_image_features": _q_media_image_features,
@@ -1643,6 +1590,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_rank_docs": _q_shuffle_rank_docs,
         "groupby_count": _q_groupby_count,
         "anti_join_customers": _q_anti_join_customers,
+        # -- (b) code touched in round 5 (re-verify) --
+        "broadcast_join_lineitem": _q_broadcast_join_lineitem,
+        "shuffle_join_orders": _q_shuffle_join_orders,
+        "asof_join_events": _q_asof_join_events,
+        "band_join_events": _q_band_join_events,
+        "session_window_events": _q_session_window_events,
+        "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "canonical_map": _q_canonical_map,
+        "minhash_dedup_docs": _q_minhash_dedup_docs,
+        "kg_edges_canonical": _q_kg_edges_canonical,
+        # -- (c) r04-green fill to the 50-query window --
+        "kg_mentions": _q_kg_mentions,
+        "kg_edges": _q_kg_edges,
+        "kg_pagerank": _q_kg_pagerank,
+        "kg_triples_embedding": _q_kg_triples_embedding,
+        "near_dup_cosine": _q_near_dup_cosine,
+        "near_dup_cosine_lsh": _q_near_dup_cosine_lsh,
+        "cooccur_edges": _q_cooccur_edges,
+        "edge_topk_per_node": _q_edge_topk_per_node,
+        "node_merge_lww": _q_node_merge_lww,
+        "pagerank_lineitem": _q_pagerank_lineitem,
+        "triangles_parts": _q_triangles_parts,
+        "knn_graph_emb": _q_knn_graph_emb,
+        "jaccard_ngram_pairs_docs": _q_jaccard_ngram_pairs_docs,
+        "union_upsert_docs": _q_union_upsert_docs,
+        "top1_per_order": _q_top1_per_order,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        # -- round-4-green, beyond the sweep window this round --
+        "source_stats_docs": _q_source_stats_docs,
+        "tumbling_window_events": _q_tumbling_window_events,
+        "hopping_window_events": _q_hopping_window_events,
+        "attr_triples_part": _q_attr_triples_part,
+        "filter_project_events": _q_filter_project_events,
+        "valid_docs": _q_valid_docs,
+        "grouped_sample_docs": _q_grouped_sample_docs,
+        "token_count_docs": _q_token_count_docs,
+        "quality_docs": _q_quality_docs,
+        "repetition_docs": _q_repetition_docs,
+        "pii_scrub_docs": _q_pii_scrub_docs,
+        "quality_filter_docs": _q_quality_filter_docs,
+        "lang_id_docs": _q_lang_id_docs,
+        "fingerprint_docs": _q_fingerprint_docs,
+        "top_tokens_docs": _q_top_tokens_docs,
+        "decontam_docs": _q_decontam_docs,
+        "stratified_sample_docs": _q_stratified_sample_docs,
+        "tfidf_topk_docs": _q_tfidf_topk_docs,
+        "json_flatten_events": _q_json_flatten_events,
+        "cms_counts_events": _q_cms_counts_events,
+        "related_entities_topk": _q_related_entities_topk,
+        "outfit_text": _q_outfit_text,
+        "outfit_page": _q_outfit_page,
+        "ivf_ann_topk": _q_ivf_ann_topk,
+        "attr_extract_docs": _q_attr_extract_docs,
     }
 
 
