@@ -8,10 +8,11 @@
 - ``python bench.py --scaling`` — the full N-vs-4N protocol: the same
   headline job in fresh subprocesses at num_cpus 4/16 (and 8/32 as the
   stress pair) on the SAME input, interleaved best-of-REPS per leg,
-  repeated for ``FKGR_SCALING_SESSIONS`` (default 3) independent
-  sessions; prints every raw leg plus the MEDIAN-of-sessions efficiency
-  = (t_N/t_4N)/4 (the sandbox proxy for N-vs-4N cluster sizes; see
-  BASELINE.md for why each protocol element is the faithful proxy).
+  repeated for independent sessions until >=2 are steal-clean (round-5
+  pre-declared protocol, BASELINE.md); prints every raw leg plus the
+  PRIMARY ``scaling_efficiency_clean`` (median of clean-session
+  efficiencies, (t_N/t_4N)/4 — the sandbox proxy for N-vs-4N cluster
+  sizes) and the all-sessions median for round-over-round continuity.
 
 Page-corpus generation is cached on disk under /tmp and excluded from the
 timed region; one untimed read warms the OS page cache first.
