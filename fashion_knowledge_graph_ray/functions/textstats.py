@@ -121,3 +121,37 @@ def simhash64(text: str) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized ``simhash64`` over a batch — bit-identical output
+    (pinned by test against the per-doc reference).
+
+    The per-doc kernel pays one blake2b call + one 64-lane numpy pass
+    per token OCCURRENCE; this one hashes each DISTINCT lowercased token
+    of the batch once (token frequency is Zipfian, so the dedup factor
+    is large), expands hashes to a bit matrix with a single
+    ``np.unpackbits``, and accumulates per-doc bit counts with one
+    ``np.add.reduceat``. Sign rule: bit i set iff
+    2*count_of_ones - n_tokens > 0 — exactly the reference's
+    +-1 accumulate."""
+    toks_per_doc = [[t.lower() for t in tokens(x or "")] for x in texts]
+    n_tok = np.array([len(ts) for ts in toks_per_doc], dtype=np.int64)
+    total = int(n_tok.sum())
+    if total == 0:
+        return np.zeros(len(texts), dtype=np.uint64)
+    flat = np.array([t for ts in toks_per_doc for t in ts], dtype=object)
+    uniq, inv = np.unique(flat, return_inverse=True)
+    hashes = np.fromiter((_hash64(t) for t in uniq), dtype=np.uint64,
+                         count=len(uniq))
+    # (U, 64) bit matrix, bit j of row = (h >> j) & 1
+    bits_u = np.unpackbits(hashes[:, None].view(np.uint8), axis=1,
+                           bitorder="little")
+    bits_all = bits_u[inv]  # (total_tokens, 64), doc-contiguous
+    S = np.zeros((len(texts), 64), dtype=np.int64)
+    nz = n_tok > 0
+    starts = np.concatenate(([0], np.cumsum(n_tok)[:-1]))
+    S[nz] = np.add.reduceat(bits_all, starts[nz], axis=0)
+    out_bits = (2 * S - n_tok[:, None]) > 0
+    return np.packbits(out_bits, axis=1,
+                       bitorder="little").view(np.uint64).ravel()

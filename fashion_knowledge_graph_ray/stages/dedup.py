@@ -24,7 +24,12 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.textstats import fingerprint_md5, hamming64, simhash64
+from ..functions.textstats import (
+    fingerprint_md5,
+    hamming64,
+    simhash64,
+    simhash64_batch,
+)
 from ..functions.vectors import list_to_matrix
 from .bucketed import bucketed_group_apply
 from .canonicalize import candidate_pairs, connected_components, lsh_band_rows
@@ -261,8 +266,7 @@ def simhash_pairs(ds, *, text_col: str = "text", id_col: str = "doc_id",
         # grouping as the former "band:chunk" string, 8-byte exchange)
         texts = t[text_col].to_pylist()
         n = len(texts)
-        sh = np.fromiter((simhash64(x or "") for x in texts),
-                         dtype=np.uint64, count=n)
+        sh = simhash64_batch(texts)
         idx = np.repeat(np.arange(n), 4)
         b = np.tile(np.arange(4, dtype=np.uint64), n)
         chunk = (sh[idx] >> (np.uint64(16) * b)) & np.uint64(0xFFFF)

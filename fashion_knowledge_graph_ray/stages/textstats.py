@@ -17,6 +17,7 @@ from ..functions.textstats import (
     line_dup_stats,
     predict_lang,
     simhash64,
+    simhash64_batch,
     stopword_count,
     token_count,
     top_bigram_frac,
@@ -61,7 +62,7 @@ def fingerprint_batch(batch: pa.Table, *, text_col: str, id_col: str) -> pa.Tabl
             id_col: batch[id_col],
             "md5": pa.array([fingerprint_md5(t) for t in texts],
                             type=pa.string()),
-            "simhash": pa.array([simhash64(t) for t in texts],
+            "simhash": pa.array(simhash64_batch(texts),
                                 type=pa.uint64()),
         }
     )

@@ -240,3 +240,30 @@ def test_cosine_top1_matches_topk_head():
     sk, ik = cosine_topk(q, idx, 1, mask=mask)
     assert np.array_equal(i1, ik[:, 0])
     assert np.array_equal(s1, sk[:, 0])
+
+
+def test_simhash64_batch_matches_per_doc_reference():
+    # the vectorized batch kernel (unique-token dedup + unpackbits +
+    # reduceat accumulate) must be BIT-identical to the per-doc simhash64
+    # it replaced in the fingerprint and simhash-band hot paths
+    import random
+    import string
+
+    from fashion_knowledge_graph_ray.functions.textstats import (
+        simhash64,
+        simhash64_batch,
+    )
+
+    rng = random.Random(7)
+    texts = ["", " ", "the the the", "Hello WORLD", "a b c",
+             "İstanbul shawl", None]
+    for _ in range(150):
+        n = rng.randint(0, 30)
+        texts.append(" ".join(
+            "".join(rng.choices(string.ascii_letters + "äöü-., ",
+                                k=rng.randint(1, 10)))
+            for _ in range(n)))
+    got = simhash64_batch(texts)
+    ref = np.array([simhash64(t or "") for t in texts], dtype=np.uint64)
+    assert got.dtype == np.uint64
+    assert np.array_equal(got, ref)
