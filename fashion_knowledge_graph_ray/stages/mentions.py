@@ -38,6 +38,7 @@ from __future__ import annotations
 import re
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 
 from ..vocab import MIN_MENTION_CHARS
@@ -245,6 +246,190 @@ class TrieScanner:
                 i += 1
 
 
+_CP_ALPHABET = 0x110000  # one past the max Unicode codepoint
+_ASCII_WORD_NP = np.array(_ASCII_WORD, dtype=bool)
+
+
+class NumpyTrieScanner:
+    """Batched numpy automaton: ``TrieScanner`` semantics, vectorized.
+
+    Same longest-match / word-boundary / resume-at-end semantics as
+    ``TrieScanner`` (equivalence-tested on every scanner fixture), but
+    both the build and the scan run as numpy array programs, lifting the
+    pure-Python scan ceiling (measured 1.7-2.0 MB/s/core) for the
+    above-``AC_FORM_GATE`` web-scale gazetteer regime:
+
+    - **Build**: per-depth ``np.unique`` over int64-packed
+      ``state * 0x110000 + codepoint`` transition keys — O(Σ form chars)
+      array work with a loop only over max form LENGTH, not form count.
+    - **Scan**: the whole batch of documents is concatenated (NUL
+      separators — non-word, never a trie key, so matches cannot span
+      documents and boundary semantics at document edges equal the
+      start/end-of-string rules), candidate starts are found with one
+      vectorized boundary+root-membership mask, and ALL candidates walk
+      the trie in lock-step — one ``searchsorted`` per depth level over
+      the surviving candidates. The only per-match Python is the final
+      greedy non-overlap filter, O(matches) not O(text).
+
+    ``casefold=True`` mirrors ``TrieScanner``'s on-the-fly SIMPLE
+    per-codepoint lowering (``_simple_lower``): the fold feeds the trie
+    walk only; boundaries and spans index the scanned string verbatim.
+    """
+
+    __slots__ = ("trans_keys", "trans_vals", "terminal", "root_chars",
+                 "root_vals", "maxlen", "casefold", "_word_cache",
+                 "_fold_cache")
+
+    def __init__(self, forms, *, casefold: bool = False):
+        forms = [f for f in forms if f]  # "" never yields (best > i)
+        self.casefold = casefold
+        self._word_cache: dict[int, bool] = {}
+        self._fold_cache: dict[int, int] = {}
+        if not forms:
+            self.trans_keys = np.empty(0, np.int64)
+            self.trans_vals = np.empty(0, np.int64)
+            self.terminal = np.zeros(1, bool)
+            self.root_chars = np.empty(0, np.int64)
+            self.root_vals = np.empty(0, np.int64)
+            self.maxlen = 0
+            return
+        forms = sorted(forms)  # lexicographic: per-depth keys arrive
+        # nondecreasing, so "unique" is a diff, not a sort
+        lens = np.fromiter((len(f) for f in forms), np.int64, count=len(forms))
+        cp = np.frombuffer("".join(forms).encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(lens)])[:-1]
+        self.maxlen = int(lens.max())
+        active = np.arange(len(forms))
+        parent = np.zeros(len(forms), np.int64)
+        key_parts, val_parts, term_parts = [], [], []
+        next_state = 1
+        for d in range(self.maxlen):
+            keep = lens[active] > d
+            active, parent = active[keep], parent[keep]
+            if active.size == 0:
+                break
+            keys = parent * _CP_ALPHABET + cp[offs[active] + d]
+            new = np.empty(keys.size, bool)
+            new[0] = True
+            np.not_equal(keys[1:], keys[:-1], out=new[1:])
+            group = np.cumsum(new) - 1  # diff-based unique: keys sorted
+            uk = keys[new]
+            childs = np.arange(next_state, next_state + uk.size, dtype=np.int64)
+            next_state += uk.size
+            key_parts.append(uk)
+            val_parts.append(childs)
+            parent = childs[group]
+            term_parts.append(parent[lens[active] == d + 1])
+        trans_keys = np.concatenate(key_parts)
+        trans_vals = np.concatenate(val_parts)
+        order = np.argsort(trans_keys)  # states are depth-unique: keys too
+        self.trans_keys = trans_keys[order]
+        self.trans_vals = trans_vals[order]
+        terminal = np.zeros(next_state, bool)
+        terminal[np.concatenate(term_parts)] = True
+        self.terminal = terminal
+        self.root_chars = key_parts[0]  # depth-0 keys = codepoints, sorted
+        self.root_vals = val_parts[0]   # their child states
+
+    def _map_distinct(self, cp: np.ndarray, cache: dict, fn) -> np.ndarray:
+        """Evaluate fn once per DISTINCT codepoint, map back via inverse."""
+        uniq, inv = np.unique(cp, return_inverse=True)
+        vals = np.fromiter(
+            (cache.get(c) if c in cache else cache.setdefault(c, fn(c))
+             for c in uniq.tolist()),
+            dtype=np.int64, count=uniq.size)
+        return vals[inv]
+
+    def _is_word_arr(self, cp: np.ndarray) -> np.ndarray:
+        out = np.zeros(cp.size, bool)
+        asc = cp < 128
+        out[asc] = _ASCII_WORD_NP[cp[asc]]
+        rest = ~asc
+        if rest.any():
+            out[rest] = self._map_distinct(
+                cp[rest], self._word_cache,
+                lambda c: int(bool(_WORD_RE.match(chr(c))))).astype(bool)
+        return out
+
+    @staticmethod
+    def _fold_one(c: int) -> int:
+        lc = _simple_lower(chr(c))
+        # only U+0130 lowers multi-char and _simple_lower handles it; a
+        # hypothetical other maps to NUL, which is never a trie key —
+        # exactly TrieScanner's failed d.get(multi-char-key) transition
+        return ord(lc) if len(lc) == 1 else 0
+
+    def _fold_arr(self, cp: np.ndarray) -> np.ndarray:
+        out = cp.copy()
+        up = (cp >= 65) & (cp <= 90)
+        out[up] = cp[up] + 32
+        rest = cp >= 128
+        if rest.any():
+            out[rest] = self._map_distinct(cp[rest], self._fold_cache,
+                                           self._fold_one)
+        return out
+
+    def scan_many(self, texts) -> list[list[tuple[int, int]]]:
+        """Per-text lists of (start, end) spans, TrieScanner-identical."""
+        if not texts:
+            return []
+        if self.root_chars.size == 0:
+            return [[] for _ in texts]
+        joined = "\x00" + "\x00".join(texts) + "\x00"
+        cp = np.frombuffer(joined.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        n = cp.size
+        dlens = np.fromiter((len(t) for t in texts), np.int64,
+                            count=len(texts))
+        doc_start = np.concatenate(
+            [np.ones(1, np.int64), 1 + np.cumsum(dlens + 1)[:-1]])
+        isw = self._is_word_arr(cp)
+        fcp = self._fold_arr(cp) if self.casefold else cp
+        # boundary positions first, root membership ONLY at those — and
+        # the membership probe doubles as the depth-0 transition
+        bpos = 1 + np.nonzero(isw[1:] != isw[:-1])[0]  # \b at the start
+        ridx = np.searchsorted(self.root_chars, fcp[bpos])
+        np.minimum(ridx, self.root_chars.size - 1, out=ridx)
+        in_root = self.root_chars[ridx] == fcp[bpos]
+        starts = bpos[in_root]
+        best = np.full(starts.size, -1, np.int64)
+        pos = starts + 1
+        state = self.root_vals[ridx[in_root]]  # after consuming char 0
+        alive = np.arange(starts.size)
+        tk, tv, term = self.trans_keys, self.trans_vals, self.terminal
+        # pos < n always: the trailing NUL can never be consumed
+        hit = term[state] & (isw[pos - 1] != isw[pos])  # 1-char forms
+        best[alive[hit]] = pos[hit]
+        for _ in range(self.maxlen - 1):
+            if alive.size == 0:
+                break
+            keys = state * _CP_ALPHABET + fcp[pos]
+            j = np.searchsorted(tk, keys)
+            np.minimum(j, tk.size - 1, out=j)
+            ok = tk[j] == keys
+            alive, pos = alive[ok], pos[ok] + 1
+            state = tv[j[ok]]
+            hit = term[state] & (isw[pos - 1] != isw[pos])
+            best[alive[hit]] = pos[hit]
+        m = best >= 0
+        out: list[list[tuple[int, int]]] = [[] for _ in texts]
+        last = 0
+        ds = doc_start
+        for s, e in zip(starts[m].tolist(), best[m].tolist()):
+            if s >= last:  # greedy resume-at-match-end, like the regex
+                last = e
+                d = int(np.searchsorted(ds, s, side="right")) - 1
+                base = int(ds[d])
+                out[d].append((s - base, e - base))
+        return out
+
+    def finditer(self, text: str):
+        """Drop-in for ``pattern.finditer`` call sites (parity tests)."""
+        for s, e in self.scan_many([text])[0]:
+            yield _Span(s, e, text)
+
+
 def compile_pattern_ci(forms) -> re.Pattern:
     """Case-insensitive fallback used when ``text.lower()`` changes the
     string length (rare Unicode case mappings), so spans always index the
@@ -271,22 +456,33 @@ def detect_in_text(text: str, url: str, pattern: "re.Pattern | TrieScanner",
     """
     lowered = text.lower()
     if len(lowered) == len(text):
-        it = pattern.finditer(lowered)
+        spans = [(m.start(), m.end()) for m in pattern.finditer(lowered)]
+        scanned = lowered
     else:
         it = (ci_pattern or compile_pattern_ci(gaz.keys())).finditer(text)
+        spans = [(m.start(), m.end()) for m in it]
+        scanned = text
+    return _mentions_from_spans(text, scanned, url, spans, gaz, min_chars)
+
+
+def _mentions_from_spans(text: str, scanned: str, url: str,
+                         spans: list[tuple[int, int]],
+                         gaz: dict[str, tuple[str, str]],
+                         min_chars: int) -> list[dict]:
+    """Span list (indexing ``scanned``) -> mention records (spans are
+    valid in ``text`` too: the two strings always have equal length)."""
     found: dict[str, dict] = {}
     order: list[str] = []
-    for m in it:
+    for s, e in spans:
         # simple lowering, matching how the ci regimes matched: full
         # .lower() on a matched 'İ...' would produce a combining-dot key
         # absent from the gazetteer (KeyError on the rare-Unicode path)
-        form = _simple_lower(m.group(0))
+        form = _simple_lower(scanned[s:e])
         if form in found:
             found[form]["n_hits"] += 1
             continue
         if len(form) < min_chars:
             continue  # area-threshold analog
-        s, e = m.start(), m.end()
         eid, cat = gaz[form]
         found[form] = {
             "surface": text[s:e],
@@ -327,23 +523,52 @@ class MentionDetector:
         self.gaz = build_gazetteer(tax)
         forms = list(self.gaz.keys())
         if len(forms) > AC_FORM_GATE:
-            # web-scale gazetteer: the automaton (identical matches,
-            # O(text) scan, seconds to build at 10^5-10^6 forms)
-            self.pattern: Any = TrieScanner(forms)
-            self.ci_pattern: Any = TrieScanner(forms, casefold=True)
+            # web-scale gazetteer: the batched numpy automaton (identical
+            # matches, whole batch scanned per searchsorted lock-step)
+            self.pattern: Any = NumpyTrieScanner(forms)
+            self.ci_pattern: Any = NumpyTrieScanner(forms, casefold=True)
         else:
             self.pattern = compile_pattern(forms)
             self.ci_pattern = compile_pattern_ci(forms)
         self.single = single_product_mode
         self.min_chars = min_chars
 
+    def _detect_batch(self, urls, texts) -> list[list[dict]]:
+        """Batched automaton path: ONE concatenated scan per ci regime
+        instead of a per-document Python walk."""
+        texts = [t or "" for t in texts]
+        lowered = [t.lower() for t in texts]
+        fast = [i for i, (t, l) in enumerate(zip(texts, lowered))
+                if len(t) == len(l)]
+        rare = [i for i in range(len(texts)) if len(texts[i]) != len(lowered[i])]
+        spans: list[list[tuple[int, int]]] = [[]] * len(texts)
+        scanned: list[str] = list(lowered)
+        for idx, sp in zip(fast, self.pattern.scan_many(
+                [lowered[i] for i in fast])):
+            spans[idx] = sp
+        for idx, sp in zip(rare, self.ci_pattern.scan_many(
+                [texts[i] for i in rare])):
+            spans[idx] = sp
+            scanned[idx] = texts[idx]  # ci spans index the ORIGINAL
+        return [
+            _mentions_from_spans(texts[i], scanned[i], urls[i], spans[i],
+                                 self.gaz, self.min_chars)
+            for i in range(len(texts))
+        ]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch["url"].to_pylist()
         texts = batch["text"].to_pylist()
+        if isinstance(self.pattern, NumpyTrieScanner):
+            per_doc = self._detect_batch(urls, texts)
+        else:
+            per_doc = [
+                detect_in_text(text or "", url, self.pattern, self.gaz,
+                               self.min_chars, ci_pattern=self.ci_pattern)
+                for url, text in zip(urls, texts)
+            ]
         mentions_col = []
-        for url, text in zip(urls, texts):
-            recs = detect_in_text(text or "", url, self.pattern, self.gaz,
-                                  self.min_chars, ci_pattern=self.ci_pattern)
+        for recs in per_doc:
             if self.single and len(recs) > 1:
                 # top-1 by salience, stable on earlier span (sort is stable;
                 # reference sorts desc by area and keeps the first —

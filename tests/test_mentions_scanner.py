@@ -11,6 +11,7 @@ import pyarrow as pa
 from fashion_knowledge_graph_ray.stages.mentions import (
     AC_FORM_GATE,
     MentionDetector,
+    NumpyTrieScanner,
     TrieScanner,
     build_gazetteer,
     compile_pattern,
@@ -102,7 +103,7 @@ def test_large_gazetteer_uses_scanner_and_detects():
         "category": ["top"] * n,
     })
     det = MentionDetector(tax)
-    assert isinstance(det.pattern, TrieScanner)
+    assert isinstance(det.pattern, NumpyTrieScanner)
     batch = pa.table({
         "url": ["u1"],
         "warc_ts": [0],
@@ -157,3 +158,57 @@ def test_detect_in_text_ci_fallback_gate_crossing():
     b = detect_in_text(text, "u", TrieScanner(gaz.keys()), gaz,
                        ci_pattern=TrieScanner(gaz.keys(), casefold=True))
     assert a == b and len(a) == 2
+
+
+def test_numpy_scanner_matches_trie_scanner_adversarial():
+    forms = ["silk", "silk scarf", "silk scarf red", "scarf", "red",
+             "a", "ab", "abc", "x_y", "x", "1984", "19", "belt"]
+    sc = TrieScanner(forms)
+    nsc = NumpyTrieScanner(forms)
+    texts = [
+        "silk scarf red and a silk scarf, red belt",
+        "xsilk scarfx silk  scarf", "ab abc a b x_y x _y",
+        "1984 19 x1984 1984x", "silk scarf redder", "", "silk",
+        "scarf.silk,red;belt", "a a a a a", "abcabc abc",
+    ]
+    for t in texts:
+        t = t.lower()
+        assert _spans(nsc.finditer(t)) == _spans(sc.finditer(t)), t
+
+
+def test_numpy_scanner_matches_trie_scanner_randomized():
+    rng = random.Random(1234)
+    words = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 6)))
+             for _ in range(200)]
+    forms = sorted({w for w in words})
+    forms += [f"{a} {b}" for a, b in zip(forms[:30], forms[30:60])]
+    sc = TrieScanner(forms)
+    nsc = NumpyTrieScanner(forms)
+    vocab = forms + ["zzz", "q", "-", ",", "  "]
+    for _ in range(100):
+        t = " ".join(rng.choices(vocab, k=rng.randint(0, 40)))
+        assert _spans(nsc.finditer(t)) == _spans(sc.finditer(t)), t
+
+
+def test_numpy_scanner_casefold_parity():
+    forms = ["istanbul", "belt", "straße", "scarf", "istanbul shawl"]
+    sc = TrieScanner(forms, casefold=True)
+    nsc = NumpyTrieScanner(forms, casefold=True)
+    for t in ["İstanbul BELT", "ISTANBUL and istanbul", "STRAẞE Scarf",
+              "xİstanbulx İstanbul", "", "İstanbul shawl with a BELT",
+              "STRAẞE and BELT"]:
+        assert _spans(nsc.finditer(t)) == _spans(sc.finditer(t)), t
+
+
+def test_numpy_scanner_scan_many_doc_mapping():
+    # spans from the concatenated batch scan must map back to per-doc
+    # offsets identically to scanning each doc alone
+    forms = ["silk", "silk scarf", "red", "belt"]
+    nsc = NumpyTrieScanner(forms)
+    sc = TrieScanner(forms)
+    docs = ["silk scarf here", "", "red belt red", "no match",
+            "silk", "\x00embedded nul red\x00silk"]
+    lo = [d.lower() for d in docs]
+    got = nsc.scan_many(lo)
+    exp = [[(m.start(), m.end()) for m in sc.finditer(t)] for t in lo]
+    assert got == exp

@@ -78,11 +78,11 @@ def test_gate_boundary_parity(monkeypatch):
     # taxonomy compiles the regex — mention rows must be identical.
     tax = _big_taxonomy(105_600)
     det_auto = M.MentionDetector(tax)
-    assert isinstance(det_auto.pattern, M.TrieScanner)
-    assert isinstance(det_auto.ci_pattern, M.TrieScanner)
+    assert isinstance(det_auto.pattern, M.NumpyTrieScanner)
+    assert isinstance(det_auto.ci_pattern, M.NumpyTrieScanner)
     monkeypatch.setattr(M, "AC_FORM_GATE", 10 ** 9)
     det_re = M.MentionDetector(tax)
-    assert not isinstance(det_re.pattern, M.TrieScanner)
+    assert not isinstance(det_re.pattern, M.NumpyTrieScanner)
     batch = _batch(_texts())
     out_a = det_auto(batch)
     out_r = det_re(batch)
