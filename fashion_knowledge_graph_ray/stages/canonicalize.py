@@ -91,8 +91,70 @@ def minhash_signature(text: str, num_perm: int = _NUM_PERM,
     if hs.size == 0:
         return np.zeros(num_perm, dtype=np.uint64)
     # (num_perm, n_shingles) universal hashes, min over shingles
-    vals = (_A[:, None] * hs[None, :] + _B[:, None]) % _MERSENNE
+    vals = (_A[:num_perm, None] * hs[None, :]
+            + _B[:num_perm, None]) % _MERSENNE
     return vals.min(axis=1)
+
+
+def minhash_signatures_batch(texts, num_perm: int = _NUM_PERM,
+                             k: int = _SHINGLE_K) -> np.ndarray:
+    """(n, num_perm) minhash signatures for a whole batch, numerically
+    identical to per-doc ``minhash_signature`` (asserted in tests) but
+    with NO per-document numpy-call overhead: all documents' shingle
+    windows hash in one concatenated Horner pass, and each permutation
+    reduces per-document with ``np.minimum.reduceat``. The per-doc
+    ``np.unique`` is dropped entirely — min over duplicate shingle
+    hashes equals min over the distinct set."""
+    n = len(texts)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    padded = [f" {(t or '').lower()} " for t in texts]
+    long_idx = [i for i, s in enumerate(padded) if len(s) >= k]
+    for i in range(n):  # rare: texts shorter than one shingle window
+        if len(padded[i]) < k:
+            sigs[i] = minhash_signature(texts[i] or "", num_perm, k)
+    if not long_idx:
+        return sigs
+    parts = [padded[i] for i in long_idx]
+    lens = np.fromiter((len(p) for p in parts), np.int64, count=len(parts))
+    cp = np.frombuffer("".join(parts).encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.uint64)
+    doc_end = np.cumsum(lens)
+    # Horner over EVERY position of the concatenation, then drop the
+    # k-1 tail positions of each document whose windows would cross
+    # into the next document — one mask instead of k gathers
+    nw = cp.size - (k - 1)
+    h = cp[:nw].copy()
+    for j in range(1, k):
+        h *= _POLY
+        h += cp[j:j + nw]
+    valid = np.ones(nw, dtype=bool)
+    for j in range(1, k):
+        tail = doc_end[:-1] - j
+        valid[tail[tail < nw]] = False
+    h = h[valid]
+    win_count = lens - k + 1
+    woff = np.concatenate([np.zeros(1, np.int64), np.cumsum(win_count)])
+    li = np.asarray(long_idx, dtype=np.int64)
+    # doc-aligned window chunks: the (num_perm, chunk) hash block stays
+    # cache-resident across all permutations instead of streaming the
+    # whole window array num_perm times
+    A2, B2 = _A[:num_perm, None], _B[:num_perm, None]
+    CHUNK = 4096
+    nd = li.size
+    i = 0
+    while i < nd:
+        j = i
+        while j < nd and woff[j + 1] - woff[i] < CHUNK:
+            j += 1
+        j = max(j, i + 1)
+        hg = h[woff[i]:woff[j]]
+        V = A2 * hg[None, :]
+        V += B2
+        V %= _MERSENNE
+        red = woff[i:j] - woff[i]
+        sigs[li[i:j]] = np.minimum.reduceat(V, red, axis=1).T
+        i = j
+    return sigs
 
 
 def lsh_band_rows(ds, text_col: str, id_col: str, *,
@@ -118,9 +180,7 @@ def lsh_band_rows(ds, text_col: str, id_col: str, *,
 
         texts = batch[text_col].to_pylist()
         n = len(texts)
-        sigs = np.empty((n, num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(t or "", num_perm, shingle_k)
+        sigs = minhash_signatures_batch(texts, num_perm, shingle_k)
         win = np.ascontiguousarray(sigs).view(np.uint8) \
             .reshape(n * bands, rows_per_band * 8)
         h = _crc32_rows(win).astype(np.int64)
@@ -167,24 +227,23 @@ def candidate_pairs(band_rows_ds, texts_ds, *,
     import ray
 
     def pairs_in_buckets(t: pa.Table) -> pa.Table:
+        # Vectorized bucket kernel (was a Python double loop over sorted
+        # bucket members): per-bucket cap by id order, pandas self-merge
+        # for the pair fan-out. Pair set identical — same cap rule
+        # (first ``max_bucket_size`` distinct ids per bucket, sorted),
+        # same a<b ordering; within-task (a, b) dedup preserves the old
+        # ``seen``-set shuffle volume.
         import pandas as pd
 
         df = pd.DataFrame({"band_key": t["band_key"].to_pandas(),
                            "id": t["id"].to_pandas()})
-        sizes = df.groupby("band_key")["id"].nunique()
-        df = df[df["band_key"].isin(sizes[sizes >= 2].index)]
-        a_out, b_out = [], []
-        seen = set()
-        for _, g in df.groupby("band_key", sort=True):
-            members = sorted(set(g["id"]))[:max_bucket_size]
-            for i in range(len(members)):
-                for j in range(i + 1, len(members)):
-                    key = (members[i], members[j])
-                    if key not in seen:
-                        seen.add(key)
-                        a_out.append(key[0]); b_out.append(key[1])
-        return pa.table({"a": pa.array(a_out, type=pa.string()),
-                         "b": pa.array(b_out, type=pa.string())})
+        df = (df.drop_duplicates(["band_key", "id"])
+              .sort_values(["band_key", "id"], kind="mergesort"))
+        df = df[df.groupby("band_key").cumcount() < max_bucket_size]
+        m = df.merge(df, on="band_key", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]].drop_duplicates(["id_a", "id_b"])
+        return pa.table({"a": pa.array(m["id_a"], type=pa.string()),
+                         "b": pa.array(m["id_b"], type=pa.string())})
 
     raw = bucketed_group_apply(band_rows_ds, ["band_key"], pairs_in_buckets,
                                num_buckets=num_buckets)
@@ -199,13 +258,13 @@ def candidate_pairs(band_rows_ds, texts_ds, *,
     for batch in cand.iter_batches(batch_format="pyarrow"):
         involved.update(batch["a"].to_pylist())
         involved.update(batch["b"].to_pylist())
-    inv_ref = ray.put(involved) if ray.is_initialized() else involved
+    inv_arr = pa.array(sorted(involved), type=pa.string())
+    inv_ref = ray.put(inv_arr) if ray.is_initialized() else inv_arr
 
     def pick_texts(t: pa.Table) -> pa.Table:
-        s = ray.get(inv_ref) if not isinstance(inv_ref, set) else inv_ref
+        s = inv_ref if isinstance(inv_ref, pa.Array) else ray.get(inv_ref)
         ids = t[id_col].cast(pa.string())
-        mask = pa.array([x in s for x in ids.to_pylist()])
-        kept = t.filter(mask)
+        kept = t.filter(pc.is_in(ids, value_set=s))
         return pa.table({"id": kept[id_col].cast(pa.string()),
                          "text": kept[text_col]})
 

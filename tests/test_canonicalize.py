@@ -113,3 +113,24 @@ def test_canonicalize_transitive_cluster(ray_session):
     m = canonicalize_taxonomy(t)
     assert len(set(m.values())) <= 2  # at least the similar ones merged
     assert m["prod-3"] == m["prod-1"] == "prod-1"
+
+
+def test_minhash_signatures_batch_parity():
+    # the batched kernel must be numerically identical to the per-doc
+    # reference for every length class (empty, sub-shingle, realistic)
+    import numpy as np
+
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        minhash_signature,
+        minhash_signatures_batch,
+    )
+
+    texts = ["", "a", "ab", "  ", "İİ", "black blouse",
+             "a rather longer document " * 40,
+             "denim jacket with straße and İstanbul mentions",
+             None]
+    texts = [t or "" for t in texts]
+    for num_perm, k in [(64, 3), (64, 5), (16, 4)]:
+        exp = np.stack([minhash_signature(t, num_perm, k) for t in texts])
+        got = minhash_signatures_batch(texts, num_perm, k)
+        assert np.array_equal(exp, got), (num_perm, k)
