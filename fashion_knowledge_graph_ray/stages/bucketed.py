@@ -65,9 +65,16 @@ def add_bucket_column(batch: pa.Table, keys: list[str], num_buckets: int,
         import polars as pl
 
         df = pl.from_arrow(batch.select(keys))
-        expr = (pl.concat_str([pl.col(k).cast(pl.Utf8) for k in keys],
-                              separator="\x1f")
-                if len(keys) > 1 else pl.col(keys[0]).cast(pl.Utf8))
+        if len(keys) == 1 and pa.types.is_integer(
+                batch.schema.field(keys[0]).type):
+            # integer keys (band_key, content hashes) hash natively —
+            # no per-row int->utf8 cast on the tag stage of every shuffle
+            expr = pl.col(keys[0])
+        elif len(keys) > 1:
+            expr = pl.concat_str([pl.col(k).cast(pl.Utf8) for k in keys],
+                                 separator="\x1f")
+        else:
+            expr = pl.col(keys[0]).cast(pl.Utf8)
         h = df.select(expr.hash(seed=0).alias("h"))["h"].to_numpy()
         b = (h % np.uint64(num_buckets)).astype(np.int64)
     else:
