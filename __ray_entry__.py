@@ -208,6 +208,17 @@ def _order_pairs(sf_dir: str, only_partkey: int | None = None):
                            "pk": t["l_partkey"].to_pandas()}).drop_duplicates()
         j = df.merge(df, on="ok")
         j = j[j["pk_x"] < j["pk_y"]]
+        if len(j) == 0:
+            # a bucket of single-part orders: .map on an empty int64
+            # Series keeps int64, so the typed string arrays below would
+            # raise — emit the empty table with the declared schema
+            return pa.table({
+                "src": pa.array([], type=pa.string()),
+                "dst": pa.array([], type=pa.string()),
+                "rel": pa.array([], type=pa.string()),
+                "url": pa.array([], type=pa.string()),
+                "warc_ts": pa.array([], type=pa.timestamp("us", tz="UTC")),
+            })
         # rel_type vectorized: equal non-null categories -> complemented_by,
         # different or either missing -> worn_with (NaN != NaN keeps the
         # missing-category rule; p_type is never empty-string in TPC-H).

@@ -174,3 +174,30 @@ def test_pipeline_partition_invariance(ray_session, tmp_path):
     pd.testing.assert_frame_equal(tr1, tr16)
     pd.testing.assert_frame_equal(ed1, ed16)
     assert len(tr1) > 0 and len(ed1) > 0
+
+
+def test_order_pairs_empty_bucket(ray_session, tmp_path):
+    # regression: a bucket containing ONLY single-part orders emits zero
+    # pairs; pandas .map on the resulting empty int64 frame kept int64
+    # dtype and the typed string arrays raised ArrowTypeError (hit at
+    # sf0.1 once integer keys hashed natively and rebalanced buckets)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4, 4], type=pa.int64()),
+        "l_partkey": pa.array([10, 11, 12, 10, 11], type=pa.int64()),
+    })
+    part = pa.table({
+        "p_partkey": pa.array([10, 11, 12], type=pa.int64()),
+        "p_type": ["STANDARD BRASS", "STANDARD BRASS", "SMALL TIN"],
+    })
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    # 32 buckets over 4 orders: most buckets are empty or singleton-only
+    out = E._order_pairs(str(tmp_path)).take_all()
+    pairs = {(r["src"], r["dst"]) for r in out}
+    assert ("p000010", "p000011") in pairs and ("p000011", "p000010") in pairs
+    assert all(isinstance(r["src"], str) for r in out)
