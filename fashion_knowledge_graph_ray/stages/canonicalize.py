@@ -225,6 +225,7 @@ def candidate_pairs(band_rows_ds, texts_ds, *,
     two-sided attach that never materializes anything on the driver, so a
     duplicate-heavy crawl cannot OOM the coordinator."""
     import ray
+    import ray.data
 
     def pairs_in_buckets(t: pa.Table) -> pa.Table:
         # Vectorized bucket kernel (was a Python double loop over sorted
@@ -246,18 +247,34 @@ def candidate_pairs(band_rows_ds, texts_ds, *,
                          "b": pa.array(m["id_b"], type=pa.string())})
 
     raw = bucketed_group_apply(band_rows_ds, ["band_key"], pairs_in_buckets,
-                               num_buckets=num_buckets)
-    cand = _distinct_pairs(raw, num_buckets=num_buckets).materialize()
+                               num_buckets=num_buckets).materialize()
 
-    if cand.count() > max_broadcast_pairs:
+    # Regime gate on the RAW per-bucket pair count (>= the distinct count,
+    # so it routes to the bucketed path no later than before). Dense: a
+    # distinct exchange + fully bucketed semi-join verify, nothing on the
+    # driver. Sparse: the candidates fit the driver by construction (the
+    # gate bounds them), so the cross-band dedup and the involved-id set
+    # are one local pandas pass — this removes a whole all-to-all exchange
+    # (_distinct_pairs) from the common near-dup-sparse regime.
+    if raw.count() > max_broadcast_pairs:
+        cand = _distinct_pairs(raw, num_buckets=num_buckets)
         return _verify_pairs_shuffle(
             cand, texts_ds, threshold=threshold, shingle_k=shingle_k,
             text_col=text_col, id_col=id_col, num_buckets=num_buckets)
 
-    involved: set[str] = set()
-    for batch in cand.iter_batches(batch_format="pyarrow"):
-        involved.update(batch["a"].to_pylist())
-        involved.update(batch["b"].to_pylist())
+    import pandas as pd
+
+    parts = [b.to_pandas()
+             for b in raw.iter_batches(batch_format="pyarrow")]
+    pdf = (pd.concat(parts, ignore_index=True) if parts
+           else pd.DataFrame({"a": pd.Series(dtype=str),
+                              "b": pd.Series(dtype=str)}))
+    pdf = pdf.drop_duplicates(["a", "b"]).sort_values(["a", "b"])
+    cand = ray.data.from_arrow(pa.table({
+        "a": pa.array(pdf["a"], type=pa.string()),
+        "b": pa.array(pdf["b"], type=pa.string())}))
+
+    involved = set(pdf["a"]).union(pdf["b"])
     inv_arr = pa.array(sorted(involved), type=pa.string())
     inv_ref = ray.put(inv_arr) if ray.is_initialized() else inv_arr
 
