@@ -134,3 +134,41 @@ def test_minhash_signatures_batch_parity():
         exp = np.stack([minhash_signature(t, num_perm, k) for t in texts])
         got = minhash_signatures_batch(texts, num_perm, k)
         assert np.array_equal(exp, got), (num_perm, k)
+
+
+def test_candidate_pairs_no_candidates(ray_session):
+    # all-distinct corpus: no LSH bucket collides, the sparse regime's
+    # driver-side dedup sees zero rows, and the verify stage must still
+    # return an empty (a, b) string-typed dataset
+    import ray.data as rd
+
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        candidate_pairs,
+        lsh_band_rows,
+    )
+
+    docs = pa.table({
+        "id": [f"d{i}" for i in range(6)],
+        "text": [
+            "alpha bravo charlie delta echo foxtrot golf",
+            "one two three four five six seven eight nine",
+            "the rain in spain falls mainly on the plain",
+            "pack my box with five dozen liquor jugs today",
+            "sphinx of black quartz judge my vow tonight",
+            "how vexingly quick daft zebras jump around",
+        ],
+    })
+    bands = lsh_band_rows(rd.from_arrow(docs), "text", "id").materialize()
+    out = candidate_pairs(bands, rd.from_arrow(docs),
+                          threshold=0.9, num_buckets=4)
+    assert out.take_all() == []
+    # downstream contract: CC over the empty pair set -> all singletons
+    from fashion_knowledge_graph_ray.stages.canonicalize import (
+        connected_components,
+    )
+
+    comp = {r["id"]: r["component"]
+            for r in connected_components(
+                out, rd.from_arrow(docs.select(["id"])),
+                num_buckets=4).take_all()}
+    assert comp == {f"d{i}": f"d{i}" for i in range(6)}
