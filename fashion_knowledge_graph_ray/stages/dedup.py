@@ -174,9 +174,15 @@ def incremental_dedup(new_ds, ref_ds, *, text_col: str = "text",
     bloom_bits = ((bloom_bits + 63) // 64) * 64
 
     def to_hash64(t: pa.Table, col: str) -> np.ndarray:
-        return np.array(
-            [int(fingerprint_md5(x)[:16], 16) for x in t[col].to_pylist()],
-            dtype=np.uint64)
+        # first 8 md5 digest bytes big-endian == int(hexdigest[:16], 16),
+        # without the hex round-trip; md5 itself is per-text C code
+        import hashlib
+
+        md5 = hashlib.md5
+        return np.fromiter(
+            (int.from_bytes(md5((x or "").encode("utf-8")).digest()[:8],
+                            "big") for x in t[col].to_pylist()),
+            dtype=np.uint64, count=t.num_rows)
 
     mask_words = bloom_bits // 64
 
